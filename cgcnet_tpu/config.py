@@ -1,0 +1,217 @@
+"""Typed configuration — single source of truth.
+
+Replaces the reference's three uncoordinated config mechanisms (argparse with
+~45 flags at train.py:299-411, hardcoded ``CrossValidSetting`` at setting.py:1-15,
+and constants duplicated across dataflow files) with one dataclass tree that can
+be loaded from / dumped to JSON and overridden from the command line.
+
+Defaults reproduce the reference's canonical configuration
+(parallel_train.sh:2-3 plus argparse defaults train.py:379-410 and
+setting.py:15): hidden=20, output=20, assign_ratio=0.1, lr=1e-3, StepLR(10, 0.1),
+sample_ratio=0.5, max 8 neighbours within 100px, 18-dim input features,
+max_num_nodes=11404.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import hashlib
+import json
+from dataclasses import dataclass, field
+from typing import Any
+
+
+@dataclass
+class ModelConfig:
+    """Architecture of the hierarchical encoder (reference model/network.py:127-291)."""
+
+    input_dim: int = 18            # 16 appearance feats + 2 coords ('ca')
+    hidden_dim: int = 20
+    embedding_dim: int = 20
+    assign_hidden_dim: int = 20
+    num_classes: int = 3
+    # assign_dim is derived from the *unsampled* max_num_nodes, matching the
+    # reference quirk (train.py:254 passes setting.max_num_nodes=11404, so
+    # pool-1 has int(11404*0.1)=1140 clusters and pool-2 int(1140*0.1)=114).
+    max_num_nodes: int = 11404
+    assign_ratio: float = 0.1
+    pred_hidden_dims: tuple[int, ...] = (50,)
+    gcn_name: str = "SAGE"         # 'SAGE' | 'GIN'
+    activation: str = "relu"       # 'relu' | 'elu' | 'leakyrelu'
+    bias: bool = True
+    bn: bool = True
+    # Adaptive adjacency renormalization (--norm_adj): self-weight p=0.4
+    # (reference model/network.py:183-191).
+    norm_adj: bool = True
+    self_weight: float = 0.4
+    drop_out: float = 0.2
+    jk: bool = True                # LSTM jumping knowledge (model/network.py:11-55)
+    concat: bool = True
+    # --- TPU-build extensions (not in the reference) ---
+    # BN statistics over real nodes only. The reference computes BN over the
+    # flattened [B*N, C] INCLUDING padded rows (model/network.py:101-107);
+    # set False to reproduce that quirk bit-for-bit for parity tests.
+    masked_bn: bool = True
+    # Max readout with -inf masking of padded rows. The reference's implicit
+    # zero-padding readout (model/network.py:264) is reproduced when False.
+    masked_readout: bool = True
+    # Numerics: 'float32' everywhere, or 'bfloat16' matmul inputs w/ f32 accum.
+    compute_dtype: str = "float32"
+    # Use the Pallas ELL aggregation kernel for stage-1 (vs XLA gather).
+    use_pallas: bool = True
+
+    @property
+    def assign_dims(self) -> tuple[int, int]:
+        d1 = int(self.max_num_nodes * self.assign_ratio)
+        d2 = int(d1 * self.assign_ratio)
+        return d1, d2
+
+    @property
+    def stage_input_dims(self) -> tuple[int, int, int]:
+        """Input feature dim at each of the 3 stages (model/network.py:150-153)."""
+        if self.concat and not self.jk:
+            inner = self.hidden_dim * 2 + self.embedding_dim
+        else:
+            inner = self.embedding_dim
+        return self.input_dim, inner, inner
+
+    @property
+    def pred_input_dim(self) -> int:
+        return self.stage_input_dims[1] * 3
+
+
+@dataclass
+class DataConfig:
+    """Dataflow / sampling (reference dataflow/data.py, setting.py)."""
+
+    root: str = "data"
+    dataset: str = "colorectal"
+    feature_type: str = "ca"       # 'c' coords | 'a' appearance | 'ca' both
+    cross_val: int = 1             # fold selection (dataflow/data.py:15-19)
+    sample_ratio: float = 0.5
+    sampling_method: str = "fuse"  # 'farthest' | 'fuse' | 'random'
+    fuse_far_fraction: float = 0.7  # fuse = 70% FPS + 30% random (data.py:211-219)
+    graph_sampler: str = "knn"     # 'knn' | 'random'
+    max_edge_distance: float = 100.0
+    max_neighbours: int = 8
+    max_num_nodes: int = 11404     # dataset-wide max node count (setting.py:15)
+    dynamic_graph: bool = False    # resample in the loader each epoch
+    num_fixed_epochs: int = 30     # offline pre-sampled epoch count (prepare_cv_dataset.py:79)
+    batch_size: int = 4
+    num_workers: int = 4
+    prefetch: int = 2
+    # Small graphs are kept whole: patches under this node count are not
+    # subsampled (reference dataflow/data.py:199-201, colon task excluded there;
+    # we keep the guard unconditionally — it only helps).
+    min_nodes_no_subsample: int = 100
+    normalize_coords_by: float = 3584.0   # tile size (construct_feature_graph.py:15)
+    seed: int = 1024
+
+    @property
+    def padded_nodes(self) -> int:
+        """Static per-patch node capacity: int(11404*0.5)+1 = 5703 (data.py:133)."""
+        return int(self.max_num_nodes * self.sample_ratio) + 1
+
+    @property
+    def num_features(self) -> int:
+        return {"c": 2, "a": 16, "ca": 18}[self.feature_type]
+
+
+@dataclass
+class TrainConfig:
+    """Optimization & loop control (reference train.py:138-244, common/utils.py:119-127)."""
+
+    optim: str = "adam"            # 'adam' | 'sgd' | 'rmsprop'
+    lr: float = 1e-3
+    weight_decay: float = 1e-4     # L2-into-grad like torch (not decoupled)
+    momentum: float = 0.9
+    step_size: int = 10            # StepLR epochs (parallel_train.sh uses 10)
+    gamma: float = 0.1
+    num_epochs: int = 30
+    test_epoch: int = 5            # test-time multi-sampling repeats (train.py:27)
+    eval_every_batches: int = 88   # mid-epoch val cadence (~train_iter 3500/40, train.py:176,185)
+    ckpt_dir: str = "runs"
+    run_name: str = ""
+    resume: str = ""               # '' | 'best' | 'weight' | explicit path
+    seed: int = 0
+    log_every: int = 10
+    profile: bool = False
+
+
+@dataclass
+class MeshConfig:
+    """Device mesh for pjit/shard_map (TPU-build extension; reference has only
+    single-process DataParallel, train.py:276-287)."""
+
+    data_axis: int = 0             # 0 = use all devices on 'data'
+    graph_axis: int = 1            # edge-partition axis for mega-graphs
+    # capacity of the per-shard halo (boundary node) buffer, as a fraction of
+    # the shard's node count; static shape for all_to_all.
+    halo_capacity: float = 0.25
+
+
+@dataclass
+class Config:
+    model: ModelConfig = field(default_factory=ModelConfig)
+    data: DataConfig = field(default_factory=DataConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+    mesh: MeshConfig = field(default_factory=MeshConfig)
+
+    # ------------------------------------------------------------------
+    def to_dict(self) -> dict[str, Any]:
+        return dataclasses.asdict(self)
+
+    def to_json(self) -> str:
+        return json.dumps(self.to_dict(), indent=2, sort_keys=True)
+
+    @classmethod
+    def from_dict(cls, d: dict[str, Any]) -> "Config":
+        def build(tp, sub):
+            fields = {f.name: f for f in dataclasses.fields(tp)}
+            kwargs = {}
+            for k, v in sub.items():
+                if k not in fields:
+                    raise KeyError(f"unknown config key {tp.__name__}.{k}")
+                if isinstance(v, list):
+                    v = tuple(v)
+                kwargs[k] = v
+            return tp(**kwargs)
+
+        return cls(
+            model=build(ModelConfig, d.get("model", {})),
+            data=build(DataConfig, d.get("data", {})),
+            train=build(TrainConfig, d.get("train", {})),
+            mesh=build(MeshConfig, d.get("mesh", {})),
+        )
+
+    @classmethod
+    def from_json(cls, s: str) -> "Config":
+        return cls.from_dict(json.loads(s))
+
+    def apply_overrides(self, overrides: list[str]) -> "Config":
+        """Apply 'section.key=value' CLI overrides; value parsed as JSON else str."""
+        d = self.to_dict()
+        for ov in overrides:
+            key, _, val = ov.partition("=")
+            parts = key.split(".")
+            try:
+                pyval = json.loads(val)
+            except (json.JSONDecodeError, ValueError):
+                pyval = val
+            cur = d
+            for p in parts[:-1]:
+                cur = cur[p]
+            if parts[-1] not in cur:
+                raise KeyError(f"unknown config key {key}")
+            cur[parts[-1]] = pyval
+        return Config.from_dict(d)
+
+    def run_id(self) -> str:
+        """Stable short hash of the full config — names the run directory.
+
+        Replaces the reference's 20-hyperparameter gen_prefix string codec
+        (train.py:93-135) whose paths orphan checkpoints on any flag change.
+        """
+        h = hashlib.sha256(self.to_json().encode()).hexdigest()[:10]
+        name = self.train.run_name or f"cgc_{self.model.gcn_name.lower()}"
+        return f"{name}_{h}"

@@ -1,0 +1,61 @@
+"""Adjacency abstraction: one interface, two layouts.
+
+Stage 1 of the hierarchy runs on sparse cell graphs (ELL, <=8 nbrs/node at
+N=5703); pooled stages run on small dense cluster graphs (1140, 114) that map
+straight onto the MXU. Every layer is written against this interface so the
+same module code serves both — the layout choice is a data property, not a
+model property (contrast the reference, which densifies everything:
+model/utils.py:3-37).
+"""
+
+from __future__ import annotations
+
+from typing import Union
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from cgcnet_tpu.ops.ell import ell_gather_sum
+
+
+@struct.dataclass
+class EllAdj:
+    """Padded-ELL adjacency. ``w`` carries effective edge weights with the
+    slot mask already folded in (0 on padding)."""
+
+    nbr: jax.Array                 # i32[B, N, K]
+    w: jax.Array                   # f32[B, N, K]
+    impl: str = struct.field(pytree_node=False, default="xla")
+
+    def matvec(self, x: jax.Array) -> jax.Array:
+        """A @ x for the implied [B, N, N] adjacency."""
+        return ell_gather_sum(self.nbr, self.w.astype(x.dtype), x, impl=self.impl)
+
+    def rowsum(self) -> jax.Array:
+        return jnp.sum(self.w, axis=-1)
+
+    def quadform(self, s: jax.Array) -> jax.Array:
+        """S^T A S — DiffPool's pooled adjacency (model/network.py:207)."""
+        a_s = self.matvec(s)                       # [B, N, C]
+        return jnp.einsum("bnc,bnd->bcd", s, a_s, preferred_element_type=s.dtype)
+
+
+@struct.dataclass
+class DenseAdj:
+    adj: jax.Array                 # f32[B, N, N]
+
+    def matvec(self, x: jax.Array) -> jax.Array:
+        return jnp.einsum(
+            "bij,bjf->bif", self.adj.astype(x.dtype), x, preferred_element_type=x.dtype
+        )
+
+    def rowsum(self) -> jax.Array:
+        return jnp.sum(self.adj, axis=-1)
+
+    def quadform(self, s: jax.Array) -> jax.Array:
+        a_s = self.matvec(s)
+        return jnp.einsum("bnc,bnd->bcd", s, a_s, preferred_element_type=s.dtype)
+
+
+Adjacency = Union[EllAdj, DenseAdj]

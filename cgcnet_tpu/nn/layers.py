@@ -1,0 +1,173 @@
+"""Graph convolutions and normalization with pinned reference semantics.
+
+Numerical contracts (SURVEY.md §2.2, verified against the PyG 1.2.1 release
+the reference pins at requirements.txt:40):
+
+- DenseSAGEConv (called at model/network.py:95,114-116 with add_loop=False,
+  normalize=True):  out = (A @ x) / clamp(rowsum(A), min=1);  out = out W + b;
+  out = l2_normalize(out);  out = out * mask.
+- DenseGINConv (model/network.py:96-99, add_loop=False): out = mlp(A @ x)
+  with mlp = Linear -> act -> Linear.
+- BatchNorm1d over the flattened [B*N, C] view (model/network.py:101-107).
+  The reference includes padded rows in the statistics; ``TorchBatchNorm``
+  supports a mask to exclude them (the TPU build's default) and reproduces
+  the quirk exactly when called without one.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as fnn
+
+from cgcnet_tpu.nn.adjacency import Adjacency
+
+
+def activation(name: str) -> Callable[[jax.Array], jax.Array]:
+    """Activation factory (reference model/network.py:84-91)."""
+    if name == "relu":
+        return jax.nn.relu
+    if name == "elu":
+        return jax.nn.elu
+    if name == "leakyrelu":
+        # torch nn.LeakyReLU default negative_slope=0.01.
+        return lambda x: jax.nn.leaky_relu(x, negative_slope=0.01)
+    raise ValueError(f"unknown activation {name!r}")
+
+
+def _torch_linear_init(fan_in: int):
+    """torch nn.Linear / PyG-1.2.1 'uniform' init: U(-1/sqrt(fan_in), +)."""
+    bound = 1.0 / (fan_in ** 0.5)
+
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return init
+
+
+class TorchLinear(fnn.Module):
+    """Linear layer with torch's default init and [out, in] kernel layout
+    transposed at apply time — keeps parity tests a direct weight copy."""
+
+    features: int
+    use_bias: bool = True
+
+    @fnn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        fan_in = x.shape[-1]
+        kernel = self.param(
+            "kernel", _torch_linear_init(fan_in), (fan_in, self.features)
+        )
+        y = x @ kernel.astype(x.dtype)
+        if self.use_bias:
+            bias = self.param("bias", _torch_linear_init(fan_in), (self.features,))
+            y = y + bias.astype(x.dtype)
+        return y
+
+
+class SAGEConv(fnn.Module):
+    """Dense/ELL GraphSAGE convolution, PyG-1.2.1 ``DenseSAGEConv`` semantics."""
+
+    features: int
+    use_bias: bool = True
+    normalize: bool = True
+
+    @fnn.compact
+    def __call__(
+        self, x: jax.Array, adj: Adjacency, mask: Optional[jax.Array] = None
+    ) -> jax.Array:
+        out = adj.matvec(x)
+        denom = jnp.clip(adj.rowsum(), min=1.0)[..., None].astype(out.dtype)
+        out = out / denom
+        out = TorchLinear(self.features, use_bias=self.use_bias, name="lin")(out)
+        if self.normalize:
+            # F.normalize(p=2, dim=-1, eps=1e-12): x / max(||x||, eps)
+            norm = jnp.linalg.norm(out, axis=-1, keepdims=True)
+            out = out / jnp.maximum(norm, 1e-12)
+        if mask is not None:
+            out = out * mask[..., None].astype(out.dtype)
+        return out
+
+
+class GINConv(fnn.Module):
+    """Dense/ELL GIN convolution, PyG-1.2.1 ``DenseGINConv`` with
+    add_loop=False: out = mlp(A @ x), mlp = Linear(in->out), act,
+    Linear(out->out) (reference model/network.py:96-99)."""
+
+    features: int
+    act: str = "relu"
+
+    @fnn.compact
+    def __call__(
+        self, x: jax.Array, adj: Adjacency, mask: Optional[jax.Array] = None
+    ) -> jax.Array:
+        out = adj.matvec(x)
+        out = TorchLinear(self.features, name="mlp_0")(out)
+        out = activation(self.act)(out)
+        out = TorchLinear(self.features, name="mlp_1")(out)
+        if mask is not None:
+            out = out * mask[..., None].astype(out.dtype)
+        return out
+
+
+class TorchBatchNorm(fnn.Module):
+    """BatchNorm1d with torch semantics over a [..., C] input flattened to
+    rows: biased variance for normalization, unbiased for the running-stat
+    update, momentum 0.1, eps 1e-5.
+
+    ``mask`` (row weights, broadcastable to the row axes) restricts statistics
+    to real nodes — the TPU build's fix for the reference's BN-over-padding
+    quirk (model/network.py:101-107). Without a mask the quirk is reproduced
+    exactly.
+    """
+
+    features: int
+    momentum: float = 0.1
+    eps: float = 1e-5
+
+    @fnn.compact
+    def __call__(
+        self,
+        x: jax.Array,
+        use_running_average: bool,
+        mask: Optional[jax.Array] = None,
+    ) -> jax.Array:
+        scale = self.param("scale", fnn.initializers.ones, (self.features,))
+        bias = self.param("bias", fnn.initializers.zeros, (self.features,))
+        ra_mean = self.variable(
+            "batch_stats", "mean", lambda: jnp.zeros(self.features, jnp.float32)
+        )
+        ra_var = self.variable(
+            "batch_stats", "var", lambda: jnp.ones(self.features, jnp.float32)
+        )
+
+        reduce_axes = tuple(range(x.ndim - 1))
+        if use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            xf = x.astype(jnp.float32)
+            if mask is None:
+                n = jnp.asarray(
+                    jnp.prod(jnp.asarray(x.shape[:-1])), dtype=jnp.float32
+                )
+                mean = jnp.mean(xf, axis=reduce_axes)
+                var = jnp.mean(jnp.square(xf - mean), axis=reduce_axes)
+            else:
+                m = jnp.broadcast_to(
+                    mask.astype(jnp.float32)[..., None], x.shape
+                )
+                n = jnp.maximum(jnp.sum(m) / self.features, 1.0)
+                mean = jnp.sum(xf * m, axis=reduce_axes) / n
+                var = jnp.sum(jnp.square(xf - mean) * m, axis=reduce_axes) / n
+            if not self.is_initializing():
+                unbiased = var * n / jnp.maximum(n - 1.0, 1.0)
+                ra_mean.value = (
+                    (1.0 - self.momentum) * ra_mean.value + self.momentum * mean
+                )
+                ra_var.value = (
+                    (1.0 - self.momentum) * ra_var.value + self.momentum * unbiased
+                )
+        inv = jax.lax.rsqrt(var + self.eps) * scale
+        return ((x - mean) * inv + bias).astype(x.dtype)

@@ -1,0 +1,153 @@
+"""CGCNet — the hierarchical soft-pooling graph classifier.
+
+TPU-native re-design of the reference ``SoftPoolingGcnEncoder``
+(model/network.py:127-291): 3 embedding GNN blocks + 2 pooling GNN blocks +
+2 DiffPool stages + per-stage max readout + MLP head.
+
+Layout strategy: stage 1 consumes the sparse :class:`CellGraph` (padded ELL,
+Pallas/XLA gather aggregation — ops/ell.py); DiffPool emits dense cluster
+graphs, so stages 2-3 run dense batched matmuls on the MXU (cluster counts
+1140 -> 114 under the canonical config, model/network.py:142,155). The
+adaptive renormalization ``_re_norm_adj`` (model/network.py:183-191) is
+applied as ELL row-weights at stage 1 and densely at stages 2-3.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as fnn
+
+from cgcnet_tpu.config import ModelConfig
+from cgcnet_tpu.core.graph import CellGraph
+from cgcnet_tpu.nn.adjacency import DenseAdj, EllAdj
+from cgcnet_tpu.nn.blocks import GNNBlock, diff_pool
+from cgcnet_tpu.nn.jk import DenseJK
+from cgcnet_tpu.nn.layers import TorchLinear, activation
+from cgcnet_tpu.ops.ell import renorm_dense, renorm_ell
+
+
+def masked_max_readout(
+    x: jax.Array, mask: Optional[jax.Array], masked: bool
+) -> jax.Array:
+    """Max over the node axis.
+
+    ``masked=False`` reproduces the reference's plain max over zero-padded
+    rows (model/network.py:264) — which silently clips negative maxima to 0;
+    ``masked=True`` uses -inf masking (TPU-build default).
+    """
+    if masked and mask is not None:
+        neg = jnp.finfo(x.dtype).min
+        x = jnp.where(mask[..., None] > 0, x, neg)
+    return jnp.max(x, axis=1)
+
+
+class CGCNet(fnn.Module):
+    """Hierarchical cell-graph classifier. Call with a :class:`CellGraph`."""
+
+    cfg: ModelConfig
+
+    def _block(self, name: str, embedding: int, lin: bool) -> GNNBlock:
+        c = self.cfg
+        return GNNBlock(
+            hidden_dim=c.hidden_dim if "embed" in name else c.assign_hidden_dim,
+            embedding_dim=embedding,
+            use_bias=c.bias,
+            use_bn=c.bn,
+            lin=lin,
+            gcn_name=c.gcn_name,
+            act=c.activation,
+            masked_bn=c.masked_bn,
+            name=name,
+        )
+
+    @fnn.compact
+    def __call__(
+        self,
+        graph: CellGraph,
+        *,
+        train: bool = False,
+        collect_assign: bool = False,
+    ) -> jax.Array | tuple[jax.Array, list[jax.Array]]:
+        c = self.cfg
+        dtype = jnp.dtype(c.compute_dtype)
+        x = graph.x.astype(dtype)
+        mask = graph.mask(dtype)
+        assign_dim1, assign_dim2 = c.assign_dims
+        assigns: list[jax.Array] = []
+
+        # ---- stage 1: sparse ELL ----
+        if c.norm_adj:
+            w = renorm_ell(graph.nbr, graph.nbr_mask, graph.n_nodes, c.self_weight)
+        else:
+            w = graph.weights()
+        impl = "pallas" if c.use_pallas else "xla"
+        adj = EllAdj(nbr=graph.nbr, w=w.astype(dtype), impl=impl)
+
+        outs = []
+        embed = self._block("embed1", c.embedding_dim, lin=False)(
+            x, adj, mask, train=train
+        )
+        if c.jk:
+            embed = DenseJK(c.hidden_dim, 3, name="jk1")(embed)
+        outs.append(masked_max_readout(embed, mask, c.masked_readout))
+
+        assign_logits = self._block("pool1", assign_dim1, lin=True)(
+            x, adj, mask, train=train
+        )
+        x, pooled_adj, s = diff_pool(embed, adj, assign_logits, mask)
+        if collect_assign:
+            assigns.append(s)
+
+        # ---- stage 2: dense clusters ----
+        if c.norm_adj:
+            pooled_adj = renorm_dense(pooled_adj, c.self_weight)
+        adj2 = DenseAdj(pooled_adj.astype(dtype))
+        embed = self._block("embed2", c.embedding_dim, lin=False)(
+            x, adj2, None, train=train
+        )
+        if c.jk:
+            embed = DenseJK(c.hidden_dim, 3, name="jk2")(embed)
+        outs.append(jnp.max(embed, axis=1))
+
+        assign_logits = self._block("pool2", assign_dim2, lin=True)(
+            x, adj2, None, train=train
+        )
+        x, pooled_adj, s = diff_pool(embed, adj2, assign_logits, None)
+        if collect_assign:
+            assigns.append(s)
+
+        # ---- stage 3 ----
+        if c.norm_adj:
+            pooled_adj = renorm_dense(pooled_adj, c.self_weight)
+        adj3 = DenseAdj(pooled_adj.astype(dtype))
+        embed = self._block("embed3", c.embedding_dim, lin=False)(
+            x, adj3, None, train=train
+        )
+        if c.jk:
+            embed = DenseJK(c.hidden_dim, 3, name="jk3")(embed)
+        outs.append(jnp.max(embed, axis=1))
+
+        # ---- head ----
+        out = jnp.concatenate(outs, axis=-1)
+        act = activation(c.activation)
+        h = out
+        for i, hd in enumerate(c.pred_hidden_dims):
+            h = act(TorchLinear(hd, name=f"pred_{i}")(h))
+            if c.drop_out > 0:
+                h = fnn.Dropout(rate=c.drop_out, deterministic=not train)(h)
+        logits = TorchLinear(c.num_classes, name="pred_out")(h)
+        logits = logits.astype(jnp.float32)
+        if collect_assign:
+            return logits, assigns
+        return logits
+
+
+def cross_entropy_loss(logits: jax.Array, labels: jax.Array) -> jax.Array:
+    """Mean softmax cross entropy (reference F.cross_entropy,
+    model/network.py:289)."""
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    nll = -jnp.take_along_axis(logp, labels[:, None], axis=-1)[:, 0]
+    return jnp.mean(nll)

@@ -1,0 +1,120 @@
+"""Sparse neighbourhood aggregation over padded ELL graphs.
+
+This is the hot op of the whole framework: the reference spends its FLOPs on
+``adj @ x`` dense batched matmuls at N=5703 with 0.14%-dense adjacency
+(reference model/network.py:206-207 and the DenseSAGEConv internals — see
+SURVEY.md §2.3 P1). Here the same contraction is a fixed-width gather +
+K-reduction:
+
+    out[b, i, :] = sum_k w[b, i, k] * x[b, nbr[b, i, k], :]
+
+Two implementations with identical semantics:
+
+- ``impl='xla'``: jnp gather (XLA lowers to dynamic-gather; autodiff gives the
+  scatter-add backward for free).
+- ``impl='pallas'``: a Pallas TPU kernel that streams row tiles through VMEM
+  (cgcnet_tpu/ops/pallas/ell_kernel.py) with a custom VJP.
+
+The adaptive-GraphSAGE renormalization (reference ``_re_norm_adj``,
+model/network.py:183-191: zero diagonal, row-normalize, scale by (1-p), set
+diagonal to p) factors over ELL as per-row scales — no materialized [N, N]
+matrix ever exists at stage 1.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+EPS = 1e-15  # reference model/network.py:8
+
+_DEFAULT_IMPL = "xla"
+
+
+def set_default_impl(impl: str) -> None:
+    global _DEFAULT_IMPL
+    assert impl in ("xla", "pallas")
+    _DEFAULT_IMPL = impl
+
+
+def _gather_sum_xla(nbr: jax.Array, w: jax.Array, x: jax.Array) -> jax.Array:
+    def one(nbr_, w_, x_):
+        gathered = x_[nbr_]                      # [N, K, F]
+        return jnp.einsum(
+            "nk,nkf->nf", w_, gathered, preferred_element_type=x_.dtype
+        )
+
+    return jax.vmap(one)(nbr, w, x)
+
+
+def ell_gather_sum(
+    nbr: jax.Array, w: jax.Array, x: jax.Array, *, impl: str | None = None
+) -> jax.Array:
+    """Weighted neighbour sum: out[b,i] = sum_k w[b,i,k] * x[b, nbr[b,i,k]].
+
+    Args:
+      nbr: i32[B, N, K] neighbour indices (invalid slots must be in-bounds —
+        the loader points them at the row itself).
+      w:   f32[B, N, K] edge weights; padding slots must carry weight 0.
+      x:   f32[B, N, F] node features.
+    """
+    impl = impl or _DEFAULT_IMPL
+    if impl == "pallas":
+        from cgcnet_tpu.ops.pallas.ell_kernel import ell_gather_sum_pallas
+
+        return ell_gather_sum_pallas(nbr, w, x)
+    return _gather_sum_xla(nbr, w, x)
+
+
+# Back-compat name: the full sparse matrix-times-dense-matrix product.
+ell_spmm = ell_gather_sum
+
+
+def renorm_ell(
+    nbr: jax.Array,
+    nbr_mask: jax.Array,
+    n_nodes: jax.Array,
+    p: float,
+) -> jax.Array:
+    """Adaptive-GraphSAGE edge weights over ELL, matching ``_re_norm_adj``.
+
+    Reference (model/network.py:183-191) on a binary adjacency A:
+      A[diag] = 0;  A' = A / (rowsum(A) + 1e-15) * (1-p);  A'[diag] = p;
+      rows of padded nodes zeroed by the mask.
+
+    Returns w f32[B, N, K]: ``p`` on self slots, ``(1-p)/deg_offdiag`` on real
+    off-diagonal slots, 0 on padding and on rows past ``n_nodes``.
+    """
+    row = jnp.arange(nbr.shape[1], dtype=nbr.dtype)[None, :, None]
+    is_self = (nbr == row).astype(nbr_mask.dtype) * nbr_mask
+    off = nbr_mask * (1.0 - is_self)
+    deg = jnp.sum(off, axis=-1, keepdims=True)          # [B, N, 1]
+    w = off * (1.0 - p) / (deg + EPS) + is_self * p
+    node_ok = (
+        jnp.arange(nbr.shape[1])[None, :] < n_nodes[:, None]
+    ).astype(w.dtype)
+    return w * node_ok[:, :, None]
+
+
+def renorm_dense(adj: jax.Array, p: float, mask: jax.Array | None = None) -> jax.Array:
+    """Dense adaptive renormalization for pooled stages.
+
+    Bit-matches the reference ``_re_norm_adj`` (model/network.py:183-191):
+    zero the diagonal, row-normalize with +1e-15, scale by (1-p), set the
+    diagonal to p, then (optionally) zero masked rows.
+    """
+    n = adj.shape[-1]
+    eye = jnp.eye(n, dtype=bool)
+    adj = jnp.where(eye[None], 0.0, adj)
+    new_adj = adj / (jnp.sum(adj, axis=-1, keepdims=True) + EPS) * (1.0 - p)
+    new_adj = jnp.where(eye[None], p, new_adj)
+    if mask is not None:
+        new_adj = new_adj * mask[..., None] if mask.ndim == 2 else new_adj * mask
+    return new_adj
+
+
+def ell_rowsum(w: jax.Array) -> jax.Array:
+    """[B, N, K] -> [B, N] row sums (degree for binary weights)."""
+    return jnp.sum(w, axis=-1)
