@@ -1,0 +1,147 @@
+"""Benchmark harness — prints ONE JSON line for the driver.
+
+Primary metric (BASELINE.json north star): edges/s/chip for the stage-1
+sparse aggregation (SpMM) forward+backward at the canonical CGC-Net workload
+(padded N=5760 ≈ int(11404*0.5)+1 nodes, K=8 neighbours, F=20 features,
+batch 4 — BASELINE.md workload constants).
+
+``vs_baseline``: speedup over the reference's formulation of the same
+contraction — a dense [B, N, N] batched adjacency matmul fwd+bwd (what
+PyG-2019 DenseSAGEConv does on GPU, reference model/network.py:206) measured
+on the same chip. The reference repo publishes no numbers of its own
+(BASELINE.md), so the baseline is self-measured dense-vs-sparse on identical
+hardware.
+
+Extra context (full train-step throughput) goes to stderr.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def bench_fn(fn, args, iters=30, warmup=2):
+    """Wall-clock per call (includes host dispatch — used for context only)."""
+    import jax
+
+    for _ in range(warmup):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / iters
+
+
+def bench_device_loop(step, x0, iters=100):
+    """Device time per iteration: chain ``iters`` dependent applications of
+    ``step`` inside ONE jitted call (lax.fori_loop), so host/tunnel dispatch
+    latency is excluded. ``step`` must map x -> x-like."""
+    import jax
+
+    @jax.jit
+    def many(x):
+        return jax.lax.fori_loop(0, iters, lambda i, xx: step(xx), x)
+
+    jax.block_until_ready(many(x0))  # compile + warm
+    t0 = time.perf_counter()
+    jax.block_until_ready(many(x0))
+    return (time.perf_counter() - t0) / iters
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from cgcnet_tpu.ops.ell import ell_gather_sum
+
+    B, N, K, F = 4, 5760, 8, 20
+    rng = np.random.default_rng(0)
+    nbr = jnp.asarray(rng.integers(0, N, size=(B, N, K)).astype(np.int32))
+    w = jnp.asarray((rng.uniform(size=(B, N, K)) < 0.95).astype(np.float32))
+    x = jnp.asarray(rng.normal(size=(B, N, F)).astype(np.float32))
+    g = jnp.asarray(rng.normal(size=(B, N, F)).astype(np.float32))
+    edges = int(np.asarray(w).sum())
+
+    # --- ours: sparse ELL aggregation fwd+bwd (device-looped) ---
+    def sparse_step(xx):
+        def loss(v):
+            return jnp.sum(ell_gather_sum(nbr, w, v) * g)
+
+        val, grad = jax.value_and_grad(loss)(xx)
+        return xx + 1e-12 * grad  # data dependency across iterations
+
+    t_sparse = bench_device_loop(sparse_step, x, iters=100)
+
+    # --- baseline: dense [B,N,N] adjacency matmul fwd+bwd (reference style) ---
+    adj = jnp.zeros((B, N, N), jnp.float32)
+
+    def dense_step(xx):
+        def loss(v):
+            return jnp.sum(jnp.einsum("bij,bjf->bif", adj, v) * g)
+
+        val, grad = jax.value_and_grad(loss)(xx)
+        return xx + 1e-12 * grad
+
+    t_dense = bench_device_loop(dense_step, x, iters=20)
+
+    edges_per_s = edges / t_sparse
+    vs_baseline = t_dense / t_sparse
+
+    # --- context: full model train step ---
+    try:
+        import __graft_entry__ as ge
+        from cgcnet_tpu.config import Config
+        from cgcnet_tpu.train.loop import make_train_step
+        from cgcnet_tpu.train.optim import make_optimizer
+        from cgcnet_tpu.train.state import create_train_state
+
+        cfg = Config().apply_overrides(["model.max_num_nodes=11404"])
+        graph = ge._example_graph(batch=4, cap=N)
+        tx = make_optimizer(cfg.train, steps_per_epoch=100)
+        model, state = create_train_state(cfg, tx, graph)
+        step_fn = make_train_step(model)
+        iters = 20
+
+        @jax.jit
+        def many_steps(s):
+            return jax.lax.fori_loop(
+                0, iters, lambda i, ss: step_fn(ss, graph, tx)[0], s
+            )
+
+        jax.block_until_ready(many_steps(state))
+        t0 = time.perf_counter()
+        jax.block_until_ready(many_steps(state))
+        t_step = (time.perf_counter() - t0) / iters
+        print(
+            f"train_step: {t_step*1e3:.1f} ms/step  "
+            f"({4/t_step:.1f} patches/s, B=4 N={N})",
+            file=sys.stderr,
+        )
+    except Exception as e:  # pragma: no cover - context only
+        print(f"train-step bench skipped: {e}", file=sys.stderr)
+
+    print(
+        f"sparse {t_sparse*1e6:.0f}us vs dense {t_dense*1e6:.0f}us "
+        f"({edges} edges)",
+        file=sys.stderr,
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "spmm_fwd_bwd_edges_per_s_per_chip",
+                "value": round(edges_per_s, 1),
+                "unit": "edges/s",
+                "vs_baseline": round(vs_baseline, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,113 @@
+"""Training CLI — replaces the reference's train.py argparse driver
+(train.py:299-435, parallel_train.sh).
+
+Usage:
+    python -m cgcnet_tpu.cli.train [--config cfg.json] [--synthetic]
+        [section.key=value ...]
+
+Examples:
+    # canonical reference configuration on a synthetic dataset
+    python -m cgcnet_tpu.cli.train --synthetic train.num_epochs=2
+
+    # real protos, fold 2, GIN convolutions
+    python -m cgcnet_tpu.cli.train data.root=/data data.cross_val=2 \
+        model.gcn_name=GIN
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import tempfile
+
+from cgcnet_tpu.config import Config
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--config", help="JSON config file")
+    p.add_argument(
+        "--synthetic",
+        action="store_true",
+        help="generate a synthetic dataset under a temp root and train on it",
+    )
+    p.add_argument(
+        "--eval-only", action="store_true", help="skip training, evaluate only"
+    )
+    p.add_argument(
+        "--visualize",
+        action="store_true",
+        help="dump GEXF cluster-assignment files during the final evaluation",
+    )
+    p.add_argument(
+        "overrides", nargs="*", help="config overrides: section.key=value"
+    )
+    return p.parse_args(argv)
+
+
+def main(argv=None) -> dict:
+    args = parse_args(argv)
+    if args.config:
+        cfg = Config.from_json(open(args.config).read())
+    else:
+        cfg = Config()
+    cfg = cfg.apply_overrides(args.overrides)
+
+    if args.synthetic:
+        from cgcnet_tpu.dataflow.synthetic import generate_dataset
+
+        root = tempfile.mkdtemp(prefix="cgc_synth_")
+        generate_dataset(root, seed=cfg.data.seed)
+        cfg = cfg.apply_overrides(
+            [f"data.root={root}", "data.max_num_nodes=512"]
+        )
+
+    from cgcnet_tpu.dataflow.dataset import NucleiGraphDataset
+    from cgcnet_tpu.dataflow.loader import GraphLoader
+    from cgcnet_tpu.train.loop import Trainer, evaluate, resume_state
+    from cgcnet_tpu.train.optim import make_optimizer
+    from cgcnet_tpu.train.state import create_train_state
+
+    cfg = cfg.apply_overrides(
+        [f"model.max_num_nodes={cfg.data.max_num_nodes}",
+         f"model.input_dim={cfg.data.num_features}"]
+    )
+
+    train_ds = NucleiGraphDataset(cfg.data, "train")
+    val_ds = NucleiGraphDataset(cfg.data, "valid")
+    train_loader = GraphLoader(
+        train_ds, cfg.data.batch_size, shuffle=True,
+        num_workers=cfg.data.num_workers, seed=cfg.data.seed, drop_last=True,
+    )
+    val_loader = GraphLoader(
+        val_ds, cfg.data.batch_size, shuffle=False,
+        num_workers=cfg.data.num_workers,
+    )
+
+    steps_per_epoch = train_loader.batches_per_epoch()
+    tx = make_optimizer(cfg.train, steps_per_epoch)
+    example = next(iter(val_loader.epoch(0)))
+    model, state = create_train_state(cfg, tx, example)
+
+    start_epoch = 0
+    if cfg.train.resume:
+        state, start_epoch = resume_state(cfg, state)
+        print(f"=> resumed from epoch {start_epoch}")
+
+    trainer = Trainer(
+        cfg, model, state, tx, train_loader, val_loader, start_epoch=start_epoch
+    )
+    if not args.eval_only:
+        best = trainer.train()
+        print("best:", best)
+    final = evaluate(
+        model, trainer.state, val_loader,
+        test_time=cfg.train.test_epoch if cfg.data.sample_ratio < 1 else 1,
+        visualize_dir=(trainer.run_dir / "visual") if args.visualize else None,
+    )
+    print("final:", final)
+    return final
+
+
+if __name__ == "__main__":
+    main()

@@ -57,8 +57,9 @@ class ModelConfig:
     masked_readout: bool = True
     # Numerics: 'float32' everywhere, or 'bfloat16' matmul inputs w/ f32 accum.
     compute_dtype: str = "float32"
-    # Use the Pallas ELL aggregation kernel for stage-1 (vs XLA gather).
-    use_pallas: bool = True
+    # Use the Pallas block-sparse aggregation kernel for stage-1 (vs XLA
+    # gather). Requires the loader's BSR metadata (spatial sort + block maps).
+    use_pallas: bool = False
 
     @property
     def assign_dims(self) -> tuple[int, int]:
@@ -97,6 +98,9 @@ class DataConfig:
     max_num_nodes: int = 11404     # dataset-wide max node count (setting.py:15)
     dynamic_graph: bool = False    # resample in the loader each epoch
     num_fixed_epochs: int = 30     # offline pre-sampled epoch count (prepare_cv_dataset.py:79)
+    # Replay offline pre-sampled node choices (dataflow/fixed_epochs.py)
+    # instead of sampling in the loader; epochs wrap modulo num_fixed_epochs.
+    use_fixed: bool = False
     batch_size: int = 4
     num_workers: int = 4
     prefetch: int = 2
@@ -207,11 +211,19 @@ class Config:
         return Config.from_dict(d)
 
     def run_id(self) -> str:
-        """Stable short hash of the full config — names the run directory.
+        """Stable short hash of the experiment-defining config — names the
+        run directory.
 
         Replaces the reference's 20-hyperparameter gen_prefix string codec
         (train.py:93-135) whose paths orphan checkpoints on any flag change.
+        Volatile fields that don't define the experiment (resume mode,
+        checkpoint root, epoch budget, logging cadence) are excluded so e.g.
+        ``train.resume=best`` resolves to the same run directory it resumes.
         """
-        h = hashlib.sha256(self.to_json().encode()).hexdigest()[:10]
+        d = self.to_dict()
+        for k in ("resume", "ckpt_dir", "num_epochs", "log_every", "profile"):
+            d["train"].pop(k, None)
+        blob = json.dumps(d, indent=2, sort_keys=True)
+        h = hashlib.sha256(blob.encode()).hexdigest()[:10]
         name = self.train.run_name or f"cgc_{self.model.gcn_name.lower()}"
         return f"{name}_{h}"

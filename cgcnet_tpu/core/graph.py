@@ -62,6 +62,11 @@ class CellGraph:
     nbr_w: Optional[jax.Array] = None
     y: Optional[jax.Array] = None
     patch_idx: Optional[jax.Array] = None
+    # Transposed adjacency (in-edge lists). Optional: only the training path
+    # needs it — aggregation's VJP is aggregation over the transpose
+    # (ops/pallas/ell_kernel.ell_spmm_factored).
+    nbr_t: Optional[jax.Array] = None
+    nbr_t_mask: Optional[jax.Array] = None
 
     @property
     def batch_size(self) -> int:

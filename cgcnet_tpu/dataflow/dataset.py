@@ -1,0 +1,226 @@
+"""Runtime graph dataset: proto -> subsample -> kNN -> normalized padded ELL.
+
+TPU-first re-design of the reference L3 dataflow (dataflow/data.py):
+
+- The reference pre-bakes 30 epochs of subsampled graphs to disk
+  (prepare_cv_dataset.py:75-109) because its global-RNG sampling is not
+  reproducible online. Here sampling is a pure function of
+  (seed, patch, epoch) — the "fixed epoch" protocol falls out for free, with
+  no proto duplication on disk, and --dynamic_graph becomes the same code
+  path with a per-call epoch.
+- Output is the static-shape padded ELL layout (core/graph.py) instead of a
+  [Nmax, Nmax] dense adjacency (data.py:234): node capacity is rounded up to
+  a lane-friendly multiple of 128.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Sequence
+
+import numpy as np
+
+from cgcnet_tpu.config import DataConfig
+from cgcnet_tpu.core.convert import transpose_ell_np
+from cgcnet_tpu.dataflow import native
+from cgcnet_tpu.dataflow.proto import load_proto, list_protos
+from cgcnet_tpu.dataflow.rng import patch_rng
+from cgcnet_tpu.dataflow import stats as stats_mod
+from cgcnet_tpu.ops.fps import farthest_point_sample_np, fuse_sample_np
+from cgcnet_tpu.ops.knn import radius_knn_np
+
+
+def _radius_knn(pos, radius, k):
+    """Native grid-hash when available; NumPy oracle otherwise."""
+    if native.available():
+        return native.radius_knn(pos, radius, k)
+    return radius_knn_np(pos, radius, k)
+
+
+def _transpose(nbr, mask, width):
+    if native.available():
+        return native.transpose_ell(nbr, mask, width)
+    return transpose_ell_np(nbr, mask, width)
+
+# 3-fold cross-validation split table (reference dataflow/data.py:15-19)
+CROSS_VAL_FOLDS = {
+    1: {"train": ["fold_1", "fold_2"], "valid": ["fold_3"]},
+    2: {"train": ["fold_1", "fold_3"], "valid": ["fold_2"]},
+    3: {"train": ["fold_2", "fold_3"], "valid": ["fold_1"]},
+}
+
+
+def round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+@dataclasses.dataclass
+class GraphSample:
+    """One patch as padded numpy arrays (pre-batching)."""
+
+    x: np.ndarray          # [cap, F] f32, z-scored, zero-padded
+    nbr: np.ndarray        # [cap, K] i32
+    nbr_mask: np.ndarray   # [cap, K] f32
+    nbr_t: np.ndarray      # [cap, KT] i32 (transpose graph)
+    nbr_t_mask: np.ndarray # [cap, KT] f32
+    n_nodes: int
+    label: int
+    patch_idx: int
+    name: str
+
+
+class NucleiGraphDataset:
+    """Index + per-item pipeline over a proto tree.
+
+    Equivalent of ``NucleiDataset``/``NucleiDatasetBatchOutput``
+    (dataflow/data.py:111-354) with deterministic seeding.
+    """
+
+    def __init__(
+        self,
+        cfg: DataConfig,
+        split: str = "train",
+        *,
+        use_reference_stats: bool = False,
+        transpose_width: int = 24,
+    ):
+        self.cfg = cfg
+        self.split = split
+        folds = CROSS_VAL_FOLDS[cfg.cross_val][split]
+        self.names = list_protos(cfg.root, folds, cfg.dataset)
+        if not self.names:
+            raise FileNotFoundError(
+                f"no protos for folds {folds} under {cfg.root}/proto/feature/{cfg.dataset}"
+            )
+        self.capacity = round_up(cfg.padded_nodes, 128)
+        self.transpose_width = transpose_width
+        if use_reference_stats:
+            self.mean, self.std = stats_mod.reference_stats(
+                cfg.cross_val, cfg.feature_type
+            )
+        else:
+            self.mean, self.std = self._compute_stats()
+
+    # ------------------------------------------------------------------
+    def _compute_stats(self) -> tuple[np.ndarray, np.ndarray]:
+        feats = []
+        for name in self.names:
+            proto = load_proto(self.cfg.root, name, self.cfg.dataset)
+            feats.append(self._slice_features(proto.full_features()))
+        return stats_mod.compute_stats(feats)
+
+    def _slice_features(self, feats: np.ndarray) -> np.ndarray:
+        # feature-type slicing 'c'/'a'/'ca' (reference dataflow/data.py:151-156)
+        if self.cfg.feature_type == "c":
+            return feats[:, -2:]
+        if self.cfg.feature_type == "a":
+            return feats[:, :-2]
+        return feats
+
+    def __len__(self) -> int:
+        return len(self.names)
+
+    # ------------------------------------------------------------------
+    def _subsample(
+        self, n: int, coords: np.ndarray, rng: np.random.Generator
+    ) -> np.ndarray | None:
+        cfg = self.cfg
+        num_sub = int(n * cfg.sample_ratio)
+        if n < cfg.min_nodes_no_subsample:
+            return None  # keep whole patch (reference data.py:199-201)
+        num_sub = min(num_sub, self.capacity)
+        if cfg.sampling_method == "random":
+            return rng.choice(n, size=num_sub, replace=False).astype(np.int32)
+        if cfg.sampling_method == "farthest" and native.available():
+            return native.fps_coords(coords, num_sub, rng)
+        dist = np.sqrt(
+            ((coords[:, None, :] - coords[None, :, :]) ** 2).sum(-1)
+        ).astype(np.float32)
+        if cfg.sampling_method == "farthest":
+            return farthest_point_sample_np(dist, num_sub, rng)
+        if cfg.sampling_method == "fuse":
+            # FPS prefix + uniform remainder; the FPS leg takes the native
+            # coords path when available (identical argmax sequence —
+            # squared vs euclidean distances share the argmax)
+            far_num = int(cfg.fuse_far_fraction * num_sub)
+            if native.available():
+                far_idx = native.fps_coords(coords, far_num, rng)
+                remain = np.setdiff1d(np.arange(n), far_idx)
+                rand_idx = rng.choice(
+                    remain, size=min(num_sub - far_num, len(remain)), replace=False
+                ).astype(np.int32)
+                return np.concatenate([far_idx, rand_idx])
+            return fuse_sample_np(dist, num_sub, rng, cfg.fuse_far_fraction)
+        raise ValueError(f"unknown sampling_method {cfg.sampling_method!r}")
+
+    def get(self, idx: int, epoch: int = 0) -> GraphSample:
+        cfg = self.cfg
+        name = self.names[idx]
+        proto = load_proto(cfg.root, name, cfg.dataset)
+        feats = proto.full_features()
+        coords = proto.coords
+        n = proto.num_nodes
+
+        purpose = "train" if self.split == "train" else "val"
+        rng = patch_rng(cfg.seed, name, epoch, purpose)
+        if cfg.use_fixed:
+            from cgcnet_tpu.dataflow.fixed_epochs import load_fixed_choice
+
+            choice = load_fixed_choice(cfg, name, epoch % cfg.num_fixed_epochs)
+            if choice is not None and len(choice) < n:
+                feats, coords = feats[choice], coords[choice]
+                n = len(choice)
+        elif cfg.sample_ratio < 1.0:
+            choice = self._subsample(n, coords, rng)
+            if choice is not None:
+                feats, coords = feats[choice], coords[choice]
+                n = len(choice)
+        n = min(n, self.capacity)
+        feats, coords = feats[:n], coords[:n]
+
+        if cfg.graph_sampler == "knn":
+            nbr, mask = _radius_knn(
+                coords, cfg.max_edge_distance, cfg.max_neighbours
+            )
+        elif cfg.graph_sampler == "random":
+            from cgcnet_tpu.dataflow.random_graph import random_distance_graph_ell
+
+            nbr, mask = random_distance_graph_ell(
+                coords, cfg.max_edge_distance, cfg.max_neighbours, rng
+            )
+        else:
+            raise ValueError(f"unknown graph_sampler {cfg.graph_sampler!r}")
+        nbr_t, mask_t, _ = _transpose(nbr, mask, self.transpose_width)
+
+        x = (self._slice_features(feats) - self.mean) / self.std
+
+        cap = self.capacity
+        xp = np.zeros((cap, x.shape[1]), np.float32)
+        xp[:n] = x
+        nbrp = np.tile(np.arange(cap, dtype=np.int32)[:, None], (1, nbr.shape[1]))
+        maskp = np.zeros((cap, nbr.shape[1]), np.float32)
+        nbrp[:n], maskp[:n] = nbr, mask
+        nbrtp = np.tile(
+            np.arange(cap, dtype=np.int32)[:, None], (1, self.transpose_width)
+        )
+        masktp = np.zeros((cap, self.transpose_width), np.float32)
+        nbrtp[:n], masktp[:n] = nbr_t, mask_t
+
+        return GraphSample(
+            x=xp, nbr=nbrp, nbr_mask=maskp, nbr_t=nbrtp, nbr_t_mask=masktp,
+            n_nodes=n, label=proto.label, patch_idx=idx, name=name,
+        )
+
+
+def collate(samples: Sequence[GraphSample]) -> dict[str, np.ndarray]:
+    """Stack samples into batched arrays (host-side; loader feeds device)."""
+    return {
+        "x": np.stack([s.x for s in samples]),
+        "nbr": np.stack([s.nbr for s in samples]),
+        "nbr_mask": np.stack([s.nbr_mask for s in samples]),
+        "nbr_t": np.stack([s.nbr_t for s in samples]),
+        "nbr_t_mask": np.stack([s.nbr_t_mask for s in samples]),
+        "n_nodes": np.asarray([s.n_nodes for s in samples], np.int32),
+        "y": np.asarray([s.label for s in samples], np.int32),
+        "patch_idx": np.asarray([s.patch_idx for s in samples], np.int32),
+    }

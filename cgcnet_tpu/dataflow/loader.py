@@ -1,0 +1,100 @@
+"""Threaded prefetching loader feeding device-resident CellGraph batches.
+
+Replaces the reference's 4-worker torch DataLoader + file_system sharing
+hack (train.py:391,433; SURVEY.md §2.3 P11). Worker threads run the numpy
+pipeline (proto load, FPS, kNN, ELL transpose) in parallel — these release
+the GIL inside numpy — while the main thread overlaps ``jax.device_put``
+with compute via a bounded prefetch queue (double buffering).
+
+Determinism: batch composition is a pure function of (seed, epoch) — the
+shuffle uses its own Generator — and each sample's graph is a pure function
+of (seed, patch, epoch), so any batch is reproducible regardless of thread
+scheduling.
+"""
+
+from __future__ import annotations
+
+from collections import deque
+from concurrent.futures import ThreadPoolExecutor
+from typing import Iterator, Optional, Sequence
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from cgcnet_tpu.core.graph import CellGraph
+from cgcnet_tpu.dataflow.dataset import GraphSample, NucleiGraphDataset, collate
+
+
+def batch_to_cellgraph(batch: dict, device=None, sharding=None) -> CellGraph:
+    put = lambda a: jax.device_put(a, sharding or device)
+    return CellGraph(
+        x=put(batch["x"]),
+        nbr=put(batch["nbr"]),
+        nbr_mask=put(batch["nbr_mask"]),
+        n_nodes=put(batch["n_nodes"]),
+        y=put(batch["y"]),
+        patch_idx=put(batch["patch_idx"]),
+        nbr_t=put(batch["nbr_t"]),
+        nbr_t_mask=put(batch["nbr_t_mask"]),
+    )
+
+
+class GraphLoader:
+    """Iterate device-ready CellGraph batches for one epoch at a time."""
+
+    def __init__(
+        self,
+        dataset: NucleiGraphDataset,
+        batch_size: int,
+        *,
+        shuffle: bool = True,
+        num_workers: int = 4,
+        prefetch: int = 2,
+        drop_last: bool = False,
+        seed: int = 0,
+        sharding=None,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.num_workers = max(1, num_workers)
+        self.prefetch = prefetch
+        self.drop_last = drop_last
+        self.seed = seed
+        self.sharding = sharding
+
+    def _epoch_order(self, epoch: int) -> np.ndarray:
+        idx = np.arange(len(self.dataset))
+        if self.shuffle:
+            np.random.default_rng((self.seed, epoch)).shuffle(idx)
+        return idx
+
+    def batches_per_epoch(self) -> int:
+        n = len(self.dataset)
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def epoch(self, epoch: int = 0) -> Iterator[CellGraph]:
+        """Yield batches for the given epoch (epoch selects the sampling
+        stream — the analog of the reference's set_epoch/set_val_epoch,
+        dataflow/data.py:186-190)."""
+        order = self._epoch_order(epoch)
+        if self.drop_last:
+            order = order[: (len(order) // self.batch_size) * self.batch_size]
+        sizes = [
+            len(order[i : i + self.batch_size])
+            for i in range(0, len(order), self.batch_size)
+        ]
+        window = self.batch_size * (self.prefetch + 1)
+        with ThreadPoolExecutor(self.num_workers) as ex:
+            futs: deque = deque()
+            submitted = 0
+            for size in sizes:
+                while submitted < len(order) and len(futs) < window:
+                    futs.append(
+                        ex.submit(self.dataset.get, int(order[submitted]), epoch)
+                    )
+                    submitted += 1
+                samples = [futs.popleft().result() for _ in range(size)]
+                # (the final batch may be smaller; jit caches one extra shape)
+                yield batch_to_cellgraph(collate(samples), sharding=self.sharding)

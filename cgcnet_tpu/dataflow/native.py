@@ -1,0 +1,132 @@
+"""ctypes bindings for the native graph-construction library (native/cgraph.cpp).
+
+Loads ``native/libcgraph.so`` if present (built by native/build.sh —
+attempted automatically once per process), otherwise every entry point
+reports unavailable and callers fall back to the NumPy implementations in
+cgcnet_tpu.ops. The native path matters for whole-slide graphs (100k+
+nuclei): grid-hash radius search is O(N·k) vs the O(N²) NumPy broadcast.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import subprocess
+from pathlib import Path
+
+import numpy as np
+
+_LIB = None
+_TRIED = False
+_SO = Path(__file__).resolve().parent.parent.parent / "native" / "libcgraph.so"
+
+
+def _load():
+    global _LIB, _TRIED
+    if _TRIED:
+        return _LIB
+    _TRIED = True
+    if not _SO.exists():
+        build = _SO.parent / "build.sh"
+        if build.exists():
+            try:
+                subprocess.run(
+                    ["sh", str(build)], capture_output=True, timeout=120, check=True
+                )
+            except Exception:
+                return None
+    if not _SO.exists():
+        return None
+    try:
+        lib = ctypes.CDLL(str(_SO))
+    except OSError:
+        return None
+    i64, i32p, f32p = (
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_float),
+    )
+    lib.radius_knn.argtypes = [f32p, i64, ctypes.c_float, ctypes.c_int, i32p, f32p]
+    lib.radius_knn.restype = ctypes.c_int
+    lib.fps_coords.argtypes = [f32p, i64, i64, i64, i32p]
+    lib.fps_coords.restype = ctypes.c_int
+    lib.fps_table.argtypes = [f32p, i64, i64, i64, i32p]
+    lib.fps_table.restype = ctypes.c_int
+    lib.transpose_ell.argtypes = [i32p, f32p, i64, ctypes.c_int, ctypes.c_int, i32p, f32p]
+    lib.transpose_ell.restype = i64
+    lib.distance_table.argtypes = [f32p, i64, f32p]
+    lib.distance_table.restype = ctypes.c_int
+    _LIB = lib
+    return _LIB
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def _f32p(a):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+
+
+def _i32p(a):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+
+
+def radius_knn(pos: np.ndarray, radius: float, k: int):
+    """Native grid-hash nearest-k-within-radius; same contract as
+    ops.knn.radius_knn_np (nearest mode, self at slot 0)."""
+    lib = _load()
+    assert lib is not None
+    pos = np.ascontiguousarray(pos, np.float32)
+    n = pos.shape[0]
+    nbr = np.tile(np.arange(n, dtype=np.int32)[:, None], (1, k)).copy()
+    mask = np.zeros((n, k), np.float32)
+    lib.radius_knn(_f32p(pos), n, radius, k, _i32p(nbr), _f32p(mask))
+    return nbr, mask
+
+
+def fps_coords(pos: np.ndarray, num_samples: int, rng: np.random.Generator):
+    lib = _load()
+    assert lib is not None
+    pos = np.ascontiguousarray(pos, np.float32)
+    n = pos.shape[0]
+    num_samples = min(num_samples, n)
+    out = np.zeros(num_samples, np.int32)
+    lib.fps_coords(_f32p(pos), n, int(rng.integers(n)), num_samples, _i32p(out))
+    return out
+
+
+def fps_table(dist: np.ndarray, num_samples: int, rng: np.random.Generator):
+    lib = _load()
+    assert lib is not None
+    dist = np.ascontiguousarray(dist, np.float32)
+    n = dist.shape[0]
+    num_samples = min(num_samples, n)
+    out = np.zeros(num_samples, np.int32)
+    lib.fps_table(_f32p(dist), n, int(rng.integers(n)), num_samples, _i32p(out))
+    return out
+
+
+def transpose_ell(nbr: np.ndarray, mask: np.ndarray, width_t: int):
+    lib = _load()
+    assert lib is not None
+    nbr = np.ascontiguousarray(nbr, np.int32)
+    mask = np.ascontiguousarray(mask, np.float32)
+    n, k = nbr.shape
+    nbr_t = np.tile(np.arange(n, dtype=np.int32)[:, None], (1, width_t)).copy()
+    mask_t = np.zeros((n, width_t), np.float32)
+    maxdeg = lib.transpose_ell(
+        _i32p(nbr), _f32p(mask), n, k, width_t, _i32p(nbr_t), _f32p(mask_t)
+    )
+    if maxdeg < 0:
+        raise ValueError(f"max in-degree exceeds transpose ELL width {width_t}")
+    return nbr_t, mask_t, int(maxdeg)
+
+
+def distance_table(pos: np.ndarray):
+    lib = _load()
+    assert lib is not None
+    pos = np.ascontiguousarray(pos, np.float32)
+    n = pos.shape[0]
+    out = np.zeros((n, n), np.float32)
+    lib.distance_table(_f32p(pos), n, _f32p(out))
+    return out

@@ -1,0 +1,213 @@
+"""Edge-partitioned whole-slide mega-graphs with halo exchange.
+
+The reference never scales past one patch — its answer to large graphs is
+subsampling (dataflow/data.py:195-225; SURVEY.md §5 "long-context"). The TPU
+build adds the graph analog of sequence parallelism (BASELINE.json configs
+4-5): a whole-slide graph (100k+ nuclei, no sampling) is node-partitioned
+*contiguously in spatial order* across the mesh's ``graph`` axis, so each
+shard owns a spatial band and the cross-shard ("halo") neighbours of a shard
+are few and near its boundary.
+
+Per aggregation:
+  1. each shard gathers the rows its peers asked for (static request tables,
+     capacity-padded) into a [D, P, F] send buffer;
+  2. one ``all_to_all`` over ICI delivers every shard its halo rows;
+  3. local ELL gather-sum runs over [local ++ halo] features.
+
+All shapes are static; tables come from :func:`partition_graph` on the host.
+The op is differentiable end-to-end (all_to_all and gathers are linear), so
+the same code path serves forward and backward.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from cgcnet_tpu.ops.ell import ell_gather_sum
+
+
+@dataclasses.dataclass
+class ShardedGraphPartition:
+    """Host-built static routing tables for one mega-graph on D shards.
+
+    Shapes (D shards, Ns = nodes/shard, K ELL width, P halo capacity per
+    peer pair, H = D*P total halo capacity):
+
+      nbr_remap   i32[D, Ns, K] — neighbour indices into [local ++ halo]
+                   space: j < Ns hits the local block, j >= Ns hits halo slot
+                   j - Ns (= position in the recv buffer).
+      nbr_mask    f32[D, Ns, K]
+      req_idx     i32[D, D, P] — req_idx[d, e] = local row indices THIS shard
+                   d must send to peer e (self-pairs unused).
+      req_mask    f32[D, D, P]
+      n_nodes     i32[D] real node count per shard.
+    """
+
+    nbr_remap: np.ndarray
+    nbr_mask: np.ndarray
+    req_idx: np.ndarray
+    req_mask: np.ndarray
+    n_nodes: np.ndarray
+
+    @property
+    def num_shards(self) -> int:
+        return self.nbr_remap.shape[0]
+
+    @property
+    def halo_capacity(self) -> int:
+        return self.req_idx.shape[2]
+
+
+def partition_graph(
+    nbr: np.ndarray,
+    mask: np.ndarray,
+    num_shards: int,
+    halo_capacity: int | None = None,
+) -> ShardedGraphPartition:
+    """Split a global ELL graph (nodes already spatially sorted) into D
+    contiguous shards and build the halo routing tables.
+
+    Global node j lives on shard j // Ns at local row j % Ns.
+    """
+    n, k = nbr.shape
+    assert n % num_shards == 0, "pad the global graph to a multiple of shards"
+    ns = n // num_shards
+    owner = nbr // ns
+    local = nbr % ns
+
+    # halo sets: for shard d, remote globals referenced by its rows
+    halos: list[np.ndarray] = []
+    for d in range(num_shards):
+        rows = slice(d * ns, (d + 1) * ns)
+        remote = (owner[rows] != d) & (mask[rows] > 0)
+        halos.append(np.unique(nbr[rows][remote]))
+
+    # per-peer request lists, capacity-padded
+    per_peer = [
+        [h[(h // ns) == e] for e in range(num_shards)] for h in halos
+    ]
+    need = max(
+        (len(lst) for peers in per_peer for lst in peers), default=0
+    )
+    p = halo_capacity if halo_capacity is not None else max(need, 1)
+    if need > p:
+        raise ValueError(f"halo capacity {p} < required {need}")
+
+    req_idx = np.zeros((num_shards, num_shards, p), np.int32)
+    req_mask = np.zeros((num_shards, num_shards, p), np.float32)
+    # recv layout on shard d: [e, slot] -> halo row  (e = owner shard)
+    halo_slot: list[dict[int, int]] = [dict() for _ in range(num_shards)]
+    for d in range(num_shards):
+        for e in range(num_shards):
+            if e == d:
+                continue
+            wanted = per_peer[d][e]
+            # shard e sends rows wanted (its locals) to d: stored at
+            # req_idx[e, d] (sender-indexed table)
+            req_idx[e, d, : len(wanted)] = (wanted % ns).astype(np.int32)
+            req_mask[e, d, : len(wanted)] = 1.0
+            for slot, j in enumerate(wanted):
+                halo_slot[d][int(j)] = e * p + slot
+
+    nbr_remap = np.zeros((num_shards, ns, k), np.int32)
+    nbr_mask = np.zeros((num_shards, ns, k), np.float32)
+    for d in range(num_shards):
+        rows = slice(d * ns, (d + 1) * ns)
+        for i in range(ns):
+            for kk in range(k):
+                if mask[rows][i, kk] <= 0:
+                    nbr_remap[d, i, kk] = i
+                    continue
+                j = int(nbr[rows][i, kk])
+                if j // ns == d:
+                    nbr_remap[d, i, kk] = j % ns
+                else:
+                    nbr_remap[d, i, kk] = ns + halo_slot[d][j]
+                nbr_mask[d, i, kk] = 1.0
+
+    return ShardedGraphPartition(
+        nbr_remap=nbr_remap,
+        nbr_mask=nbr_mask,
+        req_idx=req_idx,
+        req_mask=req_mask,
+        n_nodes=np.full(num_shards, ns, np.int32),
+    )
+
+
+# ---------------------------------------------------------------------------
+# shard_map ops (run under a mesh with axis name 'graph')
+# ---------------------------------------------------------------------------
+
+def _halo_exchange(x_local, req_idx, req_mask, axis: str):
+    """x_local f32[Ns, F]; req_idx i32[D, P]; -> halo rows f32[D*P, F]."""
+    send = x_local[req_idx] * req_mask[..., None]          # [D, P, F]
+    recv = jax.lax.all_to_all(
+        send, axis, split_axis=0, concat_axis=0, tiled=True
+    )                                                      # [D, P, F]
+    return recv.reshape(-1, recv.shape[-1])                # [D*P, F]
+
+
+def sharded_gather_sum(
+    x: jax.Array,
+    nbr_remap: jax.Array,
+    nbr_mask: jax.Array,
+    w: jax.Array,
+    req_idx: jax.Array,
+    req_mask: jax.Array,
+    mesh: Mesh,
+    axis: str = "graph",
+) -> jax.Array:
+    """Distributed A @ x with halo exchange.
+
+    Global-view args (sharded over ``axis`` on the leading dim):
+      x         f32[N, F]      node features (N = D * Ns)
+      nbr_remap i32[N, K]      per-shard remapped neighbours (stacked)
+      nbr_mask  f32[N, K]
+      w         f32[N, K]      edge weights (mask folded)
+      req_idx   i32[D*D, P]    send tables (stacked shard-major)
+      req_mask  f32[D*D, P]
+    """
+
+    def local(x_l, nbr_l, mask_l, w_l, req_i, req_m):
+        halo = _halo_exchange(x_l, req_i, req_m, axis)
+        xx = jnp.concatenate([x_l, halo], axis=0)
+        return ell_gather_sum(nbr_l[None], w_l[None], xx[None])[0][
+            : x_l.shape[0]
+        ]
+
+    fn = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis), P(axis), P(axis), P(axis)),
+        out_specs=P(axis),
+    )
+    return fn(x, nbr_remap, nbr_mask, w, req_idx, req_mask)
+
+
+def sharded_gather_sum_allgather(
+    x: jax.Array,
+    nbr: jax.Array,
+    w: jax.Array,
+    mesh: Mesh,
+    axis: str = "graph",
+) -> jax.Array:
+    """Baseline distributed A @ x: all_gather the full feature table, then
+    local gather. Correct for any partition; bandwidth scales with N*F.
+    Used as the oracle for halo-exchange tests and for small graphs."""
+
+    def local(x_l, nbr_l, w_l):
+        x_full = jax.lax.all_gather(x_l, axis, axis=0, tiled=True)
+        return ell_gather_sum(nbr_l[None], w_l[None], x_full[None])[0]
+
+    fn = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis)),
+        out_specs=P(axis),
+    )
+    return fn(x, nbr, w)

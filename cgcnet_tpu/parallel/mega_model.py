@@ -1,0 +1,299 @@
+"""MegaCGCNet: whole-slide inference/training with node-sharded stage 1.
+
+The reference can never see a whole slide — it bounds every graph to
+ratio*11404 nodes by subsampling (dataflow/data.py:195-225). This module runs
+the *same trained CGCNet parameters* over an unsampled 100k+-nucleus slide
+graph, node-partitioned over the mesh's ``graph`` axis (BASELINE.json
+configs 4-5):
+
+- stage-1 convolutions aggregate with capacity-padded all_to_all halo
+  exchange (parallel/mega_graph.py);
+- BatchNorm uses cross-shard statistics via psum (the TPU-native
+  SyncBatchNorm — SURVEY.md §2.3 P6);
+- DiffPool contracts to the replicated cluster space with a single psum:
+  x_pool = Σ_shards S_loc^T embed_loc, adj_pool = Σ_shards S_loc^T (A S)_loc;
+- pooled stages 2-3 and the head run replicated (they are tiny: 1140 -> 114
+  clusters).
+
+Parameters are the CGCNet flax tree verbatim, so patch-trained checkpoints
+drive slide-level inference unchanged (parity test:
+tests/test_mega_model.py::test_matches_cellgraph_model).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from cgcnet_tpu.config import ModelConfig
+from cgcnet_tpu.ops.ell import EPS, ell_gather_sum
+from cgcnet_tpu.parallel.mega_graph import (
+    ShardedGraphPartition,
+    _halo_exchange,
+)
+
+
+@dataclasses.dataclass
+class MegaInputs:
+    """Device-ready sharded slide graph (leading dims sharded over 'graph')."""
+
+    x: jax.Array           # f32[N, F]
+    nbr_remap: jax.Array   # i32[N, K]
+    nbr_mask: jax.Array    # f32[N, K]
+    req_idx: jax.Array     # i32[D*D, P]
+    req_mask: jax.Array    # f32[D*D, P]
+    valid: jax.Array       # f32[N] real-node mask
+
+
+def prepare_mega_inputs(
+    x: np.ndarray,
+    part: ShardedGraphPartition,
+    mesh: Mesh,
+    n_real: int | None = None,
+) -> MegaInputs:
+    n, k = part.nbr_remap.shape[0] * part.nbr_remap.shape[1], part.nbr_remap.shape[2]
+    nn = part.nbr_remap.shape[0] * part.nbr_remap.shape[1]
+    spec = NamedSharding(mesh, P("graph"))
+    put = lambda a: jax.device_put(jnp.asarray(a), spec)
+    valid = np.zeros(nn, np.float32)
+    valid[: (n_real if n_real is not None else nn)] = 1.0
+    return MegaInputs(
+        x=put(x),
+        nbr_remap=put(part.nbr_remap.reshape(nn, k)),
+        nbr_mask=put(part.nbr_mask.reshape(nn, k)),
+        req_idx=put(part.req_idx.reshape(-1, part.halo_capacity)),
+        req_mask=put(part.req_mask.reshape(-1, part.halo_capacity)),
+        valid=put(valid),
+    )
+
+
+# ---------------------------------------------------------------------------
+# functional layers over the CGCNet param tree
+# ---------------------------------------------------------------------------
+
+def _linear(p, h):
+    out = h @ p["kernel"]
+    if "bias" in p:
+        out = out + p["bias"]
+    return out
+
+
+def _act(name):
+    from cgcnet_tpu.nn.layers import activation
+
+    return activation(name)
+
+
+def _bn(p, stats, h, valid, axis, train: bool):
+    """BatchNorm over all real nodes of the global graph (psum stats)."""
+    if train:
+        m = valid[:, None]
+        cnt = jax.lax.psum(jnp.sum(m), axis)
+        mean = jax.lax.psum(jnp.sum(h * m, 0), axis) / cnt
+        var = jax.lax.psum(jnp.sum((h - mean) ** 2 * m, 0), axis) / cnt
+    else:
+        mean, var = stats["mean"], stats["var"]
+    return (h - mean) * jax.lax.rsqrt(var + 1e-5) * p["scale"] + p["bias"]
+
+
+def _stage1_block(
+    params, stats, name, x, agg, valid, cfg: ModelConfig, axis, train, lin: bool
+):
+    """GNN block over sharded nodes; ``agg`` maps h -> A @ h."""
+    p, s = params[name], (stats or {}).get(name, {})
+    act = _act(cfg.activation)
+    outs = []
+    h = x
+    for i in (1, 2, 3):
+        gp = p[f"gcn{i}"]
+        ah = agg(h)
+        if cfg.gcn_name == "SAGE":
+            denom = jnp.clip(agg.rowsum(), min=1.0)[:, None]
+            out = _linear(gp["lin"], ah / denom)
+            norm = jnp.linalg.norm(out, axis=-1, keepdims=True)
+            out = out / jnp.maximum(norm, 1e-12)
+        else:
+            out = _linear(gp["mlp_0"], ah)
+            out = act(out)
+            out = _linear(gp["mlp_1"], out)
+        out = out * valid[:, None]
+        out = act(out)
+        if cfg.bn:
+            out = _bn(p[f"bn{i}"], s.get(f"bn{i}"), out, valid, axis, train)
+        h = out
+        outs.append(out)
+    cat = jnp.concatenate(outs, -1) * valid[:, None]
+    if lin:
+        cat = _linear(p["lin"], cat) * valid[:, None]
+    return cat
+
+
+def _jk(p, h, channels: int, layers: int = 3):
+    """DenseJK over sharded nodes — per-node op, no communication."""
+    n = h.shape[0]
+    x = jnp.stack(jnp.split(h, layers, axis=-1), 1)  # [n, T, C]
+    lp = p["lstm"]
+
+    def run(x_seq, sfx):
+        w_ih, w_hh = lp[f"weight_ih{sfx}"], lp[f"weight_hh{sfx}"]
+        b = lp[f"bias_ih{sfx}"] + lp[f"bias_hh{sfx}"]
+        hdim = w_hh.shape[1]
+
+        def cell(carry, x_t):
+            h_t, c_t = carry
+            gates = x_t @ w_ih.T + h_t @ w_hh.T + b
+            i, f, g, o = jnp.split(gates, 4, -1)
+            c_new = jax.nn.sigmoid(f) * c_t + jax.nn.sigmoid(i) * jnp.tanh(g)
+            h_new = jax.nn.sigmoid(o) * jnp.tanh(c_new)
+            return (h_new, c_new), h_new
+
+        carry0 = (jnp.zeros((n, hdim), x.dtype), jnp.zeros((n, hdim), x.dtype))
+        _, ys = jax.lax.scan(cell, carry0, jnp.swapaxes(x_seq, 0, 1))
+        return jnp.swapaxes(ys, 0, 1)
+
+    fwd = run(x, "_l0")
+    bwd = run(x[:, ::-1], "_l0_reverse")[:, ::-1]
+    alpha = _linear(p["att"], jnp.concatenate([fwd, bwd], -1))[..., 0]
+    alpha = jax.nn.softmax(alpha, -1)
+    return jnp.sum(x * alpha[..., None], 1)
+
+
+class _ShardedAdj:
+    """A = diag(scale) * B_off + self_w * I over the sharded node space."""
+
+    def __init__(self, inputs: MegaInputs, cfg: ModelConfig, axis: str):
+        self.axis = axis
+        self.inp = inputs
+        row = jnp.arange(inputs.nbr_remap.shape[0])
+        self.off_mask = inputs.nbr_mask * (
+            inputs.nbr_remap != row[:, None]
+        ).astype(inputs.nbr_mask.dtype)
+        deg = jnp.sum(self.off_mask, -1)
+        if cfg.norm_adj:
+            p = cfg.self_weight
+            self.scale = (1.0 - p) / (deg + EPS) * inputs.valid
+            self.self_w = p
+            self._rowsum = (0.6 * (deg > 0) + p) * inputs.valid
+        else:
+            self.scale = inputs.valid
+            self.self_w = 1.0
+            self._rowsum = (deg + 1.0) * inputs.valid
+
+    def __call__(self, h):
+        halo = _halo_exchange(h, self.inp.req_idx, self.inp.req_mask, self.axis)
+        hh = jnp.concatenate([h, halo], 0)
+        agg = ell_gather_sum(
+            self.inp.nbr_remap[None], self.off_mask[None], hh[None]
+        )[0]
+        return self.scale[:, None] * agg + self.self_w * h
+
+    def rowsum(self):
+        return self._rowsum
+
+
+def mega_forward(
+    variables: dict,
+    cfg: ModelConfig,
+    inputs: MegaInputs,
+    mesh: Mesh,
+    *,
+    train: bool = False,
+    axis: str = "graph",
+) -> jax.Array:
+    """Logits [3] for one whole-slide graph. Parameters replicated; graph
+    sharded over ``axis``."""
+    params = variables["params"]
+    stats = variables.get("batch_stats", {})
+    d1, d2 = cfg.assign_dims
+
+    def fn(params, stats, x, nbr_remap, nbr_mask, req_idx, req_mask, valid):
+        inp = MegaInputs(x, nbr_remap, nbr_mask, req_idx, req_mask, valid)
+        adj = _ShardedAdj(inp, cfg, axis)
+        neg = jnp.finfo(x.dtype).min
+
+        # ---- stage 1 (sharded) ----
+        embed = _stage1_block(
+            params, stats, "embed1", x, adj, valid, cfg, axis, train, lin=False
+        )
+        if cfg.jk:
+            embed = _jk(params["jk1"], embed, cfg.hidden_dim) * valid[:, None]
+        # global masked max-readout: per-shard max, all_gather (differentiable,
+        # unlike pmax), max across shards
+        local_max = jnp.max(jnp.where(valid[:, None] > 0, embed, neg), 0)
+        read1 = jnp.max(jax.lax.all_gather(local_max, axis), 0)
+        assign = _stage1_block(
+            params, stats, "pool1", x, adj, valid, cfg, axis, train, lin=True
+        )
+        s = jax.nn.softmax(assign, -1) * valid[:, None]
+        x_pool = jax.lax.psum(s.T @ embed, axis)                 # [d1, F]
+        a_s = adj(s)                                             # [Ns, d1]
+        adj_pool = jax.lax.psum(s.T @ a_s, axis)                 # [d1, d1]
+
+        # ---- stages 2-3 (replicated) ----
+        from cgcnet_tpu.ops.ell import renorm_dense
+
+        def dense_stage(name, jk_name, xx, aa, lin_assign=None):
+            class DenseAgg:
+                def __call__(self, h):
+                    return aa @ h
+
+                def rowsum(self):
+                    return jnp.sum(aa, -1)
+
+            ones = jnp.ones(xx.shape[0], xx.dtype)
+            emb = _stage1_block(
+                params, stats, name, xx, DenseAgg(), ones, cfg, axis, train,
+                lin=False,
+            )
+            if cfg.jk:
+                emb = _jk(params[jk_name], emb, cfg.hidden_dim)
+            return emb
+
+        if cfg.norm_adj:
+            adj_pool = renorm_dense(adj_pool[None], cfg.self_weight)[0]
+        embed2 = dense_stage("embed2", "jk2", x_pool, adj_pool)
+        read2 = jnp.max(embed2, 0)
+        ones = jnp.ones(x_pool.shape[0], x_pool.dtype)
+
+        class DenseAgg2:
+            def __call__(self, h):
+                return adj_pool @ h
+
+            def rowsum(self):
+                return jnp.sum(adj_pool, -1)
+
+        assign2 = _stage1_block(
+            params, stats, "pool2", x_pool, DenseAgg2(), ones, cfg, axis,
+            train, lin=True,
+        )
+        s2 = jax.nn.softmax(assign2, -1)
+        x3 = s2.T @ embed2
+        adj3 = s2.T @ (adj_pool @ s2)
+        if cfg.norm_adj:
+            adj3 = renorm_dense(adj3[None], cfg.self_weight)[0]
+        embed3 = dense_stage("embed3", "jk3", x3, adj3)
+        read3 = jnp.max(embed3, 0)
+
+        out = jnp.concatenate([read1, read2, read3], -1)
+        h = out
+        act = _act(cfg.activation)
+        for i, _ in enumerate(cfg.pred_hidden_dims):
+            h = act(_linear(params[f"pred_{i}"], h))
+        return _linear(params["pred_out"], h)
+
+    shard_fn = jax.shard_map(
+        fn,
+        mesh=mesh,
+        in_specs=(P(), P(), P(axis), P(axis), P(axis), P(axis), P(axis), P(axis)),
+        out_specs=P(),
+        check_vma=False,
+    )
+    return shard_fn(
+        params, stats, inputs.x, inputs.nbr_remap, inputs.nbr_mask,
+        inputs.req_idx, inputs.req_mask, inputs.valid,
+    )

@@ -1,0 +1,203 @@
+"""Offline nucleus feature extraction (reference L2, SURVEY.md §2 C14/C15).
+
+Per instance-segmented nucleus, a 16-dim appearance vector + centroid:
+[mean inside intensity, |inside-outside| intensity difference, intensity
+variance, skew, mean local entropy, GLCM dissimilarity / homogeneity /
+energy / ASM, eccentricity, area, major/minor axis length, perimeter,
+solidity, orientation] — the exact feature set of the reference
+(construct_feature_graph.py:99-114, common/nuc_feature.py:5-36).
+
+The reference leans on scikit-image (regionprops, rank entropy,
+greycomatrix — SURVEY.md §2.3 P10), which this image doesn't ship; the same
+math is implemented here on numpy + OpenCV + scipy (all C-backed): entropy
+via per-level disk convolutions, GLCM directly, instance geometry via cv2
+contours exactly like the reference's own cv2 path
+(construct_feature_graph.py:80-98).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import scipy.ndimage as ndi
+import scipy.stats
+
+try:
+    import cv2
+except ImportError:  # pragma: no cover
+    cv2 = None
+
+
+# ---------------------------------------------------------------------------
+# image-level ops
+# ---------------------------------------------------------------------------
+
+def disk_footprint(radius: int) -> np.ndarray:
+    y, x = np.ogrid[-radius : radius + 1, -radius : radius + 1]
+    return (x * x + y * y <= radius * radius).astype(np.float32)
+
+
+def local_entropy(gray: np.ndarray, radius: int = 3, levels: int = 256) -> np.ndarray:
+    """Shannon entropy (bits) of the grey-level histogram in a disk
+    neighbourhood — skimage.filters.rank.entropy semantics
+    (reference construct_feature_graph.py:62)."""
+    assert gray.dtype == np.uint8
+    fp = disk_footprint(radius)
+    area = fp.sum()
+    if levels < 256:
+        q = (gray.astype(np.uint16) * levels // 256).astype(np.uint8)
+    else:
+        q = gray
+    ent = np.zeros(gray.shape, np.float64)
+    for lv in np.unique(q):
+        plane = (q == lv).astype(np.float32)
+        if cv2 is not None:
+            cnt = cv2.filter2D(plane, -1, fp, borderType=cv2.BORDER_REFLECT)
+        else:
+            cnt = ndi.convolve(plane, fp, mode="reflect")
+        p = np.clip(cnt / area, 1e-12, 1.0)
+        ent -= np.where(cnt > 0, p * np.log2(p), 0.0)
+    return ent
+
+
+def remove_small_instances(mask: np.ndarray, min_size: int = 10) -> np.ndarray:
+    """Drop labelled instances below ``min_size`` pixels
+    (reference construct_feature_graph.py:58)."""
+    out = mask.copy()
+    labels, counts = np.unique(mask[mask > 0], return_counts=True)
+    for lab in labels[counts < min_size]:
+        out[out == lab] = 0
+    return out
+
+
+# ---------------------------------------------------------------------------
+# per-nucleus stats
+# ---------------------------------------------------------------------------
+
+def nucleus_intensity_stats(mask: np.ndarray, intensity: np.ndarray):
+    """(mean inside, |inside-outside| diff, var, skew) over a crop
+    (reference common/nuc_feature.py:5-17, including its +1e-8 guards)."""
+    inside = intensity[mask > 0].astype(np.float64)
+    outside = intensity[mask == 0].astype(np.float64)
+    mean_in = inside.sum() / (inside.size + 1e-8)
+    mean_out = outside.sum() / (outside.size + 1e-8)
+    diff = abs(mean_in - mean_out)
+    var = np.var(inside) if inside.size else 0.0
+    skew = scipy.stats.skew(inside) if inside.size else 0.0
+    return float(mean_in), float(diff), float(var), float(np.nan_to_num(skew))
+
+
+def glcm_stats(mask: np.ndarray, intensity: np.ndarray):
+    """(contrast, dissimilarity, homogeneity, energy, ASM) of the horizontal
+    1-pixel co-occurrence matrix of the masked crop, first row/col dropped
+    (reference common/nuc_feature.py:19-36)."""
+    img = (intensity.astype(np.int32) * (mask > 0)).astype(np.int32)
+    left, right = img[:, :-1].ravel(), img[:, 1:].ravel()
+    glcm = np.zeros((256, 256), np.float64)
+    np.add.at(glcm, (left, right), 1.0)
+    glcm = glcm[1:, 1:]  # filter background pairs (nuc_feature.py:24)
+    total = glcm.sum()
+    if total == 0:
+        return 0.0, 0.0, 0.0, 0.0, 0.0
+    p = glcm / total
+    i, j = np.mgrid[0:255, 0:255]
+    d = np.abs(i - j)
+    contrast = float((p * d**2).sum())
+    dissimilarity = float((p * d).sum())
+    homogeneity = float((p / (1.0 + d**2)).sum())
+    asm = float((p**2).sum())
+    energy = float(np.sqrt(asm))
+    return contrast, dissimilarity, homogeneity, energy, asm
+
+
+def _contour_geometry(single_mask: np.ndarray):
+    """Contour-derived geometry via cv2, mirroring the reference's own cv2
+    usage (construct_feature_graph.py:80-98). Returns (area, perimeter,
+    solidity, eccentricity, major, minor, orientation)."""
+    if cv2 is None:  # scipy fallback: moments-based approximations
+        ys, xs = np.nonzero(single_mask)
+        area = float(len(ys))
+        perimeter = float(len(ys))  # crude
+        return area, perimeter, 1.0, 0.0, 1.0, 1.0, 0.0
+    info = cv2.findContours(
+        single_mask.astype(np.uint8), cv2.RETR_TREE, cv2.CHAIN_APPROX_SIMPLE
+    )
+    cnts = info[0] if len(info) == 2 else info[1]
+    if not cnts:
+        return 0.0, 0.0, 1.0, 0.0, 1.0, 1.0, 0.0
+    cnt = cnts[0]
+    num_vertices = len(cnt)
+    area = cv2.contourArea(cnt)
+    hull = cv2.convexHull(cnt)
+    hull_area = cv2.contourArea(hull) or 1.0
+    solidity = float(area) / hull_area
+    if num_vertices > 4:
+        _, axes, orientation = cv2.fitEllipse(cnt)
+        major, minor = max(axes), min(axes)
+    else:
+        orientation, major, minor = 0.0, 1.0, 1.0
+    perimeter = cv2.arcLength(cnt, True)
+    ecc = float(np.sqrt(1.0 - (minor / major) ** 2)) if major > 0 else 0.0
+    return (
+        float(area), float(perimeter), float(solidity), ecc,
+        float(major), float(minor), float(orientation),
+    )
+
+
+# ---------------------------------------------------------------------------
+# patch-level driver
+# ---------------------------------------------------------------------------
+
+def extract_patch_features(
+    mask: np.ndarray,
+    image_gray: np.ndarray,
+    *,
+    min_size: int = 10,
+    entropy_radius: int = 3,
+    entropy_levels: int = 256,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Instance mask [H, W] (int labels) + grayscale image -> 16-dim features
+    and centroids for each nucleus (reference _get_batch_features_new,
+    construct_feature_graph.py:50-123)."""
+    mask = remove_small_instances(mask, min_size)
+    entropy = local_entropy(
+        image_gray.astype(np.uint8), entropy_radius, entropy_levels
+    )
+    binary = (mask > 0).astype(np.uint8)
+
+    labels = np.unique(mask[mask > 0])
+    objects = ndi.find_objects(mask)
+    feats, coords = [], []
+    for lab in labels:
+        sl = objects[int(lab) - 1]
+        if sl is None:
+            continue
+        # reference crops bbox with +1 on the stop side (construct:71-74)
+        sl = tuple(slice(s.start, min(s.stop + 1, dim)) for s, dim in zip(sl, mask.shape))
+        sub_mask = (mask[sl] == lab).astype(np.uint8)
+        # NOTE the reference uses the *binary* (all-instances) crop for
+        # intensity/GLCM stats (construct:72) — reproduce that
+        sub_binary = binary[sl]
+        sub_int = image_gray[sl]
+        sub_ent = entropy[sl]
+
+        mean_in, diff, var, skew = nucleus_intensity_stats(sub_binary, sub_int)
+        _, dis, hom, ene, asm = glcm_stats(sub_binary, sub_int)
+        mean_ent = float(sub_ent[sub_binary > 0].mean()) if sub_binary.any() else 0.0
+        area, perimeter, solidity, ecc, major, minor, orient = _contour_geometry(
+            sub_mask
+        )
+        ys, xs = np.nonzero(mask[sl] == lab)
+        cy = ys.mean() + sl[0].start
+        cx = xs.mean() + sl[1].start
+
+        feats.append(
+            [mean_in, diff, var, skew, mean_ent, dis, hom, ene, asm,
+             ecc, area, major, minor, perimeter, solidity, orient]
+        )
+        coords.append([cy, cx])
+    if not feats:
+        return np.zeros((0, 16), np.float32), np.zeros((0, 2), np.float32)
+    return (
+        np.asarray(feats, np.float32),
+        np.asarray(coords, np.float32),
+    )

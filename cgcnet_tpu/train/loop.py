@@ -1,0 +1,262 @@
+"""Training and evaluation loops.
+
+Re-design of the reference L5 layer (train.py:21-244):
+
+- the whole optimization step (forward, CE loss, backward, optimizer, BN
+  stat update) is one jitted, donated function — no per-batch host sync;
+- mid-epoch validation every ``eval_every_batches`` batches with
+  best-checkpoint tracking keyed on image-level accuracy (train.py:185-207,
+  including the ``> best - 1e-7`` tie-forgiveness);
+- evaluation supports test-time multi-sampling: ``test_epoch`` independent
+  resamplings of each patch's graph, logits averaged before argmax
+  (train.py:27-36,83-88);
+- metrics stream to JSONL; throughput is reported as edges/s.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from pathlib import Path
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from cgcnet_tpu.config import Config
+from cgcnet_tpu.core.graph import CellGraph
+from cgcnet_tpu.dataflow.loader import GraphLoader
+from cgcnet_tpu.nn.model import CGCNet, cross_entropy_loss
+from cgcnet_tpu.train.checkpoint import load_checkpoint, resolve_resume_path, save_checkpoint
+from cgcnet_tpu.train.metrics import ImageLevelMetric, patch_accuracy
+from cgcnet_tpu.train.state import TrainState
+
+
+def make_train_step(model: CGCNet):
+    def train_step(state: TrainState, graph: CellGraph, tx):
+        rng = jax.random.fold_in(
+            jax.random.wrap_key_data(state.rng), state.step
+        )
+
+        def loss_fn(params):
+            logits, mutated = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                graph,
+                train=True,
+                mutable=["batch_stats"],
+                rngs={"dropout": rng},
+            )
+            return cross_entropy_loss(logits, graph.y), (logits, mutated)
+
+        (loss, (logits, mutated)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = jax.tree.map(lambda p, u: p + u, state.params, updates)
+        new_state = state.replace(
+            params=params,
+            batch_stats=mutated["batch_stats"],
+            opt_state=opt_state,
+            step=state.step + 1,
+        )
+        metrics = {
+            "loss": loss,
+            "acc": jnp.mean(
+                (jnp.argmax(logits, -1) == graph.y).astype(jnp.float32)
+            ),
+            "edges": graph.num_edges(),
+        }
+        return new_state, metrics
+
+    return train_step
+
+
+def make_eval_step(model: CGCNet):
+    def eval_step(state: TrainState, graph: CellGraph):
+        return model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            graph,
+            train=False,
+        )
+
+    return eval_step
+
+
+def evaluate(
+    model: CGCNet,
+    state: TrainState,
+    loader: GraphLoader,
+    *,
+    test_time: int = 1,
+    eval_step=None,
+    visualize_dir: str | Path | None = None,
+    visualize_max: int = 50,
+) -> dict[str, float]:
+    """Multi-sampling evaluation -> patch/image/binary accuracy.
+
+    ``visualize_dir``: dump per-patch GEXF files with composed DiffPool
+    cluster assignments for the first ``visualize_max`` patches (reference
+    --visualization path, train.py:64-76). The last two feature columns are
+    the normalized centroid coordinates ('ca'/'c' feature types).
+    """
+    eval_step = eval_step or jax.jit(make_eval_step(model))
+    viz_step = None
+    if visualize_dir is not None:
+        viz_step = jax.jit(
+            lambda s, g: model.apply(
+                {"params": s.params, "batch_stats": s.batch_stats},
+                g, train=False, collect_assign=True,
+            )
+        )
+    visualized = 0
+    logit_sum: dict[int, np.ndarray] = {}
+    labels: dict[int, int] = {}
+    for rep in range(test_time):
+        for graph in loader.epoch(rep):
+            if viz_step is not None and rep == 0 and visualized < visualize_max:
+                logits_d, assigns = viz_step(state, graph)
+                logits = np.asarray(logits_d)
+                from cgcnet_tpu.utils.gexf import assignments_to_gexf
+
+                for i in range(graph.batch_size):
+                    if visualized >= visualize_max:
+                        break
+                    n = int(graph.n_nodes[i])
+                    name = loader.dataset.names[int(graph.patch_idx[i])]
+                    out = Path(visualize_dir) / (name.replace("/", "_") + ".gexf")
+                    assignments_to_gexf(
+                        np.asarray(graph.x[i, :, -2:]),
+                        np.asarray(graph.nbr[i]),
+                        np.asarray(graph.nbr_mask[i]),
+                        [np.asarray(a[i]) for a in assigns],
+                        out,
+                        n_nodes=n,
+                    )
+                    visualized += 1
+            else:
+                logits = np.asarray(eval_step(state, graph))
+            for i, pidx in enumerate(np.asarray(graph.patch_idx)):
+                pidx = int(pidx)
+                logit_sum[pidx] = logit_sum.get(pidx, 0.0) + logits[i]
+                labels[pidx] = int(np.asarray(graph.y)[i])
+    metric = ImageLevelMetric()
+    preds, gts = [], []
+    names = loader.dataset.names
+    for pidx, ls in logit_sum.items():
+        pred = int(np.argmax(ls))
+        preds.append(pred)
+        gts.append(labels[pidx])
+        metric.add_batch([names[pidx]], [pred], [labels[pidx]])
+    out = metric.result()
+    out["patch_acc"] = patch_accuracy(np.asarray(preds), np.asarray(gts))
+    return out
+
+
+class Trainer:
+    def __init__(
+        self,
+        cfg: Config,
+        model: CGCNet,
+        state: TrainState,
+        tx,
+        train_loader: GraphLoader,
+        val_loader: Optional[GraphLoader] = None,
+        start_epoch: int = 0,
+    ):
+        self.cfg = cfg
+        self.model = model
+        self.state = state
+        self.tx = tx
+        self.train_loader = train_loader
+        self.val_loader = val_loader
+        self.start_epoch = start_epoch
+        step_fn = make_train_step(model)
+        self._train_step = jax.jit(
+            lambda s, g: step_fn(s, g, tx), donate_argnums=(0,)
+        )
+        self._eval_step = jax.jit(make_eval_step(model))
+        self.run_dir = Path(cfg.train.ckpt_dir) / cfg.run_id()
+        self.run_dir.mkdir(parents=True, exist_ok=True)
+        (self.run_dir / "config.json").write_text(cfg.to_json())
+        self.log_path = self.run_dir / "metrics.jsonl"
+        self.best = {"img_acc": 0.0, "patch_acc": 0.0, "epoch": -1}
+
+    # ------------------------------------------------------------------
+    def _log(self, record: dict) -> None:
+        with self.log_path.open("a") as f:
+            f.write(json.dumps(record) + "\n")
+
+    def _maybe_validate(self, epoch: int) -> None:
+        if self.val_loader is None:
+            return
+        test_time = (
+            self.cfg.train.test_epoch if self.cfg.data.sample_ratio < 1.0 else 1
+        )
+        result = evaluate(
+            self.model,
+            self.state,
+            self.val_loader,
+            test_time=test_time,
+            eval_step=self._eval_step,
+        )
+        self._log({"kind": "val", "epoch": epoch, **result})
+        # best tracking with the reference's 1e-7 tie forgiveness (train.py:188)
+        if result["img_acc"] > self.best["img_acc"] - 1e-7:
+            self.best = {**result, "epoch": epoch}
+            save_checkpoint(
+                self.run_dir,
+                self.state,
+                epoch=epoch,
+                metrics=result,
+                is_best=True,
+            )
+
+    def train(self) -> dict:
+        cfg = self.cfg.train
+        for epoch in range(self.start_epoch, cfg.num_epochs):
+            t0 = time.perf_counter()
+            losses, edges = [], 0
+            for bi, graph in enumerate(self.train_loader.epoch(epoch)):
+                self.state, metrics = self._train_step(self.state, graph)
+                if (bi + 1) % cfg.log_every == 0:
+                    self._log(
+                        {
+                            "kind": "train",
+                            "epoch": epoch,
+                            "batch": bi,
+                            "loss": float(metrics["loss"]),
+                            "acc": float(metrics["acc"]),
+                        }
+                    )
+                losses.append(metrics["loss"])
+                edges += int(metrics["edges"])
+                if (
+                    cfg.eval_every_batches > 0
+                    and (bi + 1) % cfg.eval_every_batches == 0
+                ):
+                    self._maybe_validate(epoch)
+            dt = time.perf_counter() - t0
+            avg_loss = float(jnp.mean(jnp.stack(losses))) if losses else 0.0
+            self._log(
+                {
+                    "kind": "epoch",
+                    "epoch": epoch,
+                    "avg_loss": avg_loss,
+                    "time_s": dt,
+                    "edges_per_s": edges / dt if dt > 0 else 0.0,
+                }
+            )
+            self._maybe_validate(epoch)
+            save_checkpoint(
+                self.run_dir, self.state, epoch=epoch, metrics={"avg_loss": avg_loss}
+            )
+        return self.best
+
+
+def resume_state(cfg: Config, state: TrainState) -> tuple[TrainState, int]:
+    """Restore state per cfg.train.resume ('best'/'weight'/path)."""
+    run_dir = Path(cfg.train.ckpt_dir) / cfg.run_id()
+    path = resolve_resume_path(run_dir, cfg.train.resume)
+    state, meta = load_checkpoint(path, state)
+    return state, int(meta.get("epoch", -1)) + 1

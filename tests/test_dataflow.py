@@ -1,0 +1,184 @@
+"""Dataflow tests: protos, sampling determinism, loader batching, transpose."""
+
+import numpy as np
+import pytest
+
+from cgcnet_tpu.config import DataConfig
+from cgcnet_tpu.core.convert import transpose_ell_np
+from cgcnet_tpu.dataflow.dataset import NucleiGraphDataset, collate
+from cgcnet_tpu.dataflow.loader import GraphLoader
+from cgcnet_tpu.dataflow.proto import PatchProto, load_proto, save_proto, list_protos
+from cgcnet_tpu.dataflow.rng import patch_rng
+from cgcnet_tpu.dataflow.synthetic import generate_dataset
+from cgcnet_tpu.dataflow import stats as stats_mod
+
+
+@pytest.fixture(scope="module")
+def synth_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("synth")
+    names = generate_dataset(
+        str(root), patches_per_image=2, images_per_grade=1,
+        n_nodes=(80, 150), seed=0,
+    )
+    return str(root), names
+
+
+def make_cfg(root, **kw):
+    base = dict(root=root, max_num_nodes=256, sample_ratio=0.5, batch_size=3,
+                seed=7)
+    base.update(kw)
+    return DataConfig(**base)
+
+
+def test_proto_roundtrip(tmp_path, rng):
+    p = PatchProto(
+        name="fold_1/1_normal/img_grade_1_0",
+        features=rng.normal(size=(10, 16)).astype(np.float32),
+        coords=rng.uniform(0, 100, (10, 2)).astype(np.float32),
+        label=0,
+    )
+    save_proto(tmp_path, p)
+    q = load_proto(tmp_path, p.name)
+    np.testing.assert_array_equal(p.features, q.features)
+    np.testing.assert_array_equal(p.coords, q.coords)
+    assert q.label == 0
+    assert q.full_features().shape == (10, 18)
+    assert list_protos(tmp_path, ["fold_1"]) == [p.name]
+
+
+def test_patch_rng_independence():
+    a = patch_rng(0, "p1", 0).integers(0, 1 << 30, 8)
+    b = patch_rng(0, "p1", 0).integers(0, 1 << 30, 8)
+    c = patch_rng(0, "p1", 1).integers(0, 1 << 30, 8)
+    d = patch_rng(0, "p2", 0).integers(0, 1 << 30, 8)
+    np.testing.assert_array_equal(a, b)
+    assert not np.array_equal(a, c)
+    assert not np.array_equal(a, d)
+
+
+def test_dataset_split_and_shapes(synth_root):
+    root, _ = synth_root
+    ds = NucleiGraphDataset(make_cfg(root), "train")
+    val = NucleiGraphDataset(make_cfg(root), "valid")
+    # cv=1: train = folds 1+2, valid = fold 3 (reference data.py:15-19)
+    assert all(n.startswith(("fold_1", "fold_2")) for n in ds.names)
+    assert all(n.startswith("fold_3") for n in val.names)
+    s = ds.get(0, epoch=0)
+    assert ds.capacity % 128 == 0
+    assert s.x.shape == (ds.capacity, 18)
+    assert s.nbr.shape == (ds.capacity, 8)
+    assert s.x[s.n_nodes :].sum() == 0  # zero padding
+    assert s.nbr_mask[s.n_nodes :].sum() == 0
+
+
+def test_sampling_deterministic_per_epoch(synth_root):
+    root, _ = synth_root
+    cfg = make_cfg(root, min_nodes_no_subsample=10)
+    a = NucleiGraphDataset(cfg, "train").get(0, epoch=3)
+    b = NucleiGraphDataset(cfg, "train").get(0, epoch=3)
+    c = NucleiGraphDataset(cfg, "train").get(0, epoch=4)
+    np.testing.assert_array_equal(a.x, b.x)
+    np.testing.assert_array_equal(a.nbr, b.nbr)
+    assert not np.array_equal(a.x, c.x)  # resampled across epochs
+    assert a.n_nodes < 150  # actually subsampled (ratio 0.5)
+
+
+def test_small_patch_not_subsampled(synth_root):
+    root, _ = synth_root
+    cfg = make_cfg(root, min_nodes_no_subsample=1000)
+    s = NucleiGraphDataset(cfg, "train").get(0, epoch=0)
+    proto_nodes = load_proto(root, NucleiGraphDataset(cfg, "train").names[0]).num_nodes
+    assert s.n_nodes == proto_nodes  # kept whole (reference data.py:199-201)
+
+
+def test_normalization_applied(synth_root):
+    root, _ = synth_root
+    cfg = make_cfg(root, sample_ratio=1.0)
+    ds = NucleiGraphDataset(cfg, "train")
+    allx = np.concatenate(
+        [ds.get(i).x[: ds.get(i).n_nodes] for i in range(len(ds))]
+    )
+    assert abs(allx.mean()) < 0.25 and 0.5 < allx.std() < 2.0
+
+
+def test_reference_stats_slicing():
+    m, s = stats_mod.reference_stats(1, "ca")
+    assert m.shape == (18,) and s[-1] == 3584
+    mc, _ = stats_mod.reference_stats(1, "c")
+    np.testing.assert_array_equal(mc, [3584, 3584])
+    ma, _ = stats_mod.reference_stats(2, "a")
+    assert ma.shape == (16,)
+
+
+def test_transpose_ell_correct(rng):
+    n, k = 20, 4
+    nbr = rng.integers(0, n, (n, k)).astype(np.int32)
+    mask = (rng.uniform(size=(n, k)) < 0.8).astype(np.float32)
+    nbr_t, mask_t, maxdeg = transpose_ell_np(nbr, mask, 32)
+    # rebuild edge sets
+    fwd = {(i, int(nbr[i, kk])) for i in range(n) for kk in range(k) if mask[i, kk]}
+    bwd = {
+        (int(nbr_t[j, kk]), j)
+        for j in range(n)
+        for kk in range(32)
+        if mask_t[j, kk]
+    }
+    # transpose keeps multiplicity collapsed? no — multiset equality:
+    fwd_list = sorted(
+        (i, int(nbr[i, kk])) for i in range(n) for kk in range(k) if mask[i, kk]
+    )
+    bwd_list = sorted(
+        (int(nbr_t[j, kk]), j)
+        for j in range(n)
+        for kk in range(32)
+        if mask_t[j, kk]
+    )
+    assert fwd_list == bwd_list
+    assert maxdeg == int(mask_t.sum(1).max())
+
+
+def test_transpose_overflow_raises(rng):
+    nbr = np.zeros((10, 4), np.int32)  # every edge points at node 0
+    mask = np.ones((10, 4), np.float32)
+    with pytest.raises(ValueError, match="in-degree"):
+        transpose_ell_np(nbr, mask, 8)
+
+
+def test_loader_batches(synth_root):
+    root, _ = synth_root
+    cfg = make_cfg(root)
+    ds = NucleiGraphDataset(cfg, "train")
+    loader = GraphLoader(ds, 3, shuffle=True, num_workers=2, seed=1)
+    batches = list(loader.epoch(0))
+    assert sum(b.x.shape[0] for b in batches) == len(ds)
+    g = batches[0]
+    assert g.x.shape[0] == 3 and g.nbr_t is not None
+    # determinism incl. shuffle
+    again = list(loader.epoch(0))
+    np.testing.assert_array_equal(
+        np.asarray(batches[0].patch_idx), np.asarray(again[0].patch_idx)
+    )
+    np.testing.assert_array_equal(np.asarray(batches[0].x), np.asarray(again[0].x))
+    # different epoch -> different order
+    other = list(loader.epoch(1))
+    assert not np.array_equal(
+        np.asarray(batches[0].patch_idx), np.asarray(other[0].patch_idx)
+    )
+
+
+def test_loader_drop_last(synth_root):
+    root, _ = synth_root
+    ds = NucleiGraphDataset(make_cfg(root), "train")
+    loader = GraphLoader(ds, 4, drop_last=True, num_workers=2)
+    batches = list(loader.epoch(0))
+    assert all(b.x.shape[0] == 4 for b in batches)
+    assert loader.batches_per_epoch() == len(batches)
+
+
+def test_loader_worker_error_surfaces(synth_root):
+    root, _ = synth_root
+    ds = NucleiGraphDataset(make_cfg(root), "train")
+    ds.names[1] = "fold_1/doesnotexist/х"
+    loader = GraphLoader(ds, len(ds.names), shuffle=False, num_workers=2)
+    with pytest.raises(FileNotFoundError):
+        list(loader.epoch(0))

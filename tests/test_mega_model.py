@@ -1,0 +1,125 @@
+"""MegaCGCNet (node-sharded whole-slide path) vs CGCNet parity."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from cgcnet_tpu.config import ModelConfig
+from cgcnet_tpu.core.graph import CellGraph
+from cgcnet_tpu.nn.model import CGCNet
+from cgcnet_tpu.ops.knn import radius_knn_np
+from cgcnet_tpu.parallel.mega_graph import partition_graph
+from cgcnet_tpu.parallel.mega_model import mega_forward, prepare_mega_inputs
+from cgcnet_tpu.parallel.mesh import make_mesh
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 4, reason="needs virtual devices"
+)
+
+
+def build(rng, n_real, cap, feat=18, k=6):
+    # spatially sorted band of nuclei (sorted x) so contiguous partition has
+    # small halo
+    xs_coord = np.sort(rng.uniform(0, n_real * 3.0, n_real))
+    pos = np.stack([xs_coord, rng.uniform(0, 80, n_real)], -1).astype(np.float32)
+    nbr, mask = radius_knn_np(pos, 100.0, k)
+    nbr_p = np.tile(np.arange(cap, dtype=np.int32)[:, None], (1, k))
+    mask_p = np.zeros((cap, k), np.float32)
+    nbr_p[:n_real], mask_p[:n_real] = nbr, mask
+    x = np.zeros((cap, feat), np.float32)
+    x[:n_real] = rng.normal(size=(n_real, feat)).astype(np.float32)
+    return x, nbr_p, mask_p
+
+
+@pytest.mark.parametrize("norm_adj,jk", [(True, True), (False, False)])
+def test_matches_cellgraph_model(rng, norm_adj, jk):
+    n_real, cap, d = 110, 128, 4
+    x, nbr, mask = build(rng, n_real, cap)
+    cfg = ModelConfig(
+        input_dim=18, max_num_nodes=160, assign_ratio=0.2,
+        hidden_dim=8, embedding_dim=8, assign_hidden_dim=8,
+        drop_out=0.0, norm_adj=norm_adj, jk=jk, use_pallas=False,
+    )
+
+    g = CellGraph(
+        x=jnp.asarray(x)[None],
+        nbr=jnp.asarray(nbr)[None],
+        nbr_mask=jnp.asarray(mask)[None],
+        n_nodes=jnp.asarray([n_real], jnp.int32),
+    )
+    model = CGCNet(cfg)
+    variables = model.init({"params": jax.random.key(0)}, g, train=False)
+    ref = np.asarray(model.apply(variables, g, train=False))[0]
+
+    mesh = make_mesh(1, d, devices=jax.devices()[:d])
+    part = partition_graph(nbr, mask, d)
+    inputs = prepare_mega_inputs(x, part, mesh, n_real=n_real)
+    out = np.asarray(
+        jax.jit(
+            lambda v: mega_forward(v, cfg, inputs, mesh, train=False)
+        )(variables)
+    )
+    np.testing.assert_allclose(out, ref, atol=3e-5, rtol=1e-4)
+
+
+def test_shard_count_invariance(rng):
+    """Same slide, 2 vs 8 shards -> identical logits."""
+    n_real, cap = 120, 128
+    x, nbr, mask = build(rng, n_real, cap)
+    cfg = ModelConfig(
+        input_dim=18, max_num_nodes=160, assign_ratio=0.2,
+        hidden_dim=8, embedding_dim=8, assign_hidden_dim=8,
+        drop_out=0.0, use_pallas=False,
+    )
+    g = CellGraph(
+        x=jnp.asarray(x)[None], nbr=jnp.asarray(nbr)[None],
+        nbr_mask=jnp.asarray(mask)[None],
+        n_nodes=jnp.asarray([n_real], jnp.int32),
+    )
+    variables = CGCNet(cfg).init({"params": jax.random.key(1)}, g, train=False)
+    outs = []
+    for d in (2, 8):
+        mesh = make_mesh(1, d, devices=jax.devices()[:d])
+        part = partition_graph(nbr, mask, d)
+        inputs = prepare_mega_inputs(x, part, mesh, n_real=n_real)
+        outs.append(
+            np.asarray(
+                jax.jit(
+                    lambda v, m=mesh, i=inputs: mega_forward(
+                        v, cfg, i, m, train=False
+                    )
+                )(variables)
+            )
+        )
+    np.testing.assert_allclose(outs[0], outs[1], atol=2e-5)
+
+
+def test_gradients_flow_sharded(rng):
+    n_real, cap, d = 96, 128, 4
+    x, nbr, mask = build(rng, n_real, cap)
+    cfg = ModelConfig(
+        input_dim=18, max_num_nodes=160, assign_ratio=0.2,
+        hidden_dim=8, embedding_dim=8, assign_hidden_dim=8,
+        drop_out=0.0, use_pallas=False,
+    )
+    g = CellGraph(
+        x=jnp.asarray(x)[None], nbr=jnp.asarray(nbr)[None],
+        nbr_mask=jnp.asarray(mask)[None],
+        n_nodes=jnp.asarray([n_real], jnp.int32),
+    )
+    variables = CGCNet(cfg).init({"params": jax.random.key(2)}, g, train=False)
+    mesh = make_mesh(1, d, devices=jax.devices()[:d])
+    part = partition_graph(nbr, mask, d)
+    inputs = prepare_mega_inputs(x, part, mesh, n_real=n_real)
+
+    def loss(params):
+        v = {"params": params, "batch_stats": variables["batch_stats"]}
+        logits = mega_forward(v, cfg, inputs, mesh, train=True)
+        return -jax.nn.log_softmax(logits)[1]
+
+    grads = jax.jit(jax.grad(loss))(variables["params"])
+    leaves = jax.tree.leaves(jax.device_get(grads))
+    assert all(np.isfinite(l).all() for l in leaves)
+    assert sum(float(np.abs(l).sum()) for l in leaves) > 0
