@@ -100,6 +100,13 @@ def main(argv=None) -> dict:
     if not args.eval_only:
         best = trainer.train()
         print("best:", best)
+        # final evaluation reports the *selected* model (best on image-level
+        # val accuracy), not whatever the last epoch left behind
+        best_ckpt = trainer.run_dir / "model_best.msgpack"
+        if best_ckpt.exists():
+            from cgcnet_tpu.train.checkpoint import load_checkpoint
+
+            trainer.state, _ = load_checkpoint(best_ckpt, trainer.state)
     final = evaluate(
         model, trainer.state, val_loader,
         test_time=cfg.train.test_epoch if cfg.data.sample_ratio < 1 else 1,

@@ -16,7 +16,43 @@ import jax
 import jax.numpy as jnp
 from flax import struct
 
-from cgcnet_tpu.ops.ell import ell_gather_sum
+from cgcnet_tpu.ops.ell import ell_gather_sum, ell_spmm_factored
+
+
+@struct.dataclass
+class EllAdjFactored:
+    """Stage-1 adjacency in factored form A = diag(scale)·B_off + diag(self_w)
+    with the transposed graph carried for a scatter-free backward
+    (ops.ell.ell_spmm_factored). Preferred whenever the loader supplies
+    ``nbr_t`` (training path)."""
+
+    nbr: jax.Array          # i32[B, N, K]
+    off_mask: jax.Array     # f32[B, N, K] (self slots zeroed)
+    nbr_t: jax.Array        # i32[B, N, KT]
+    off_mask_t: jax.Array   # f32[B, N, KT]
+    scale: jax.Array        # f32[B, N]
+    self_w: jax.Array       # f32[B, N]
+    rowsum_: jax.Array      # f32[B, N]
+    impl: str = struct.field(pytree_node=False, default="xla")
+
+    def matvec(self, x: jax.Array) -> jax.Array:
+        return ell_spmm_factored(
+            self.nbr,
+            self.off_mask.astype(x.dtype),
+            self.nbr_t,
+            self.off_mask_t.astype(x.dtype),
+            self.scale.astype(x.dtype),
+            self.self_w.astype(x.dtype),
+            x,
+            self.impl,
+        )
+
+    def rowsum(self) -> jax.Array:
+        return self.rowsum_
+
+    def quadform(self, s: jax.Array) -> jax.Array:
+        a_s = self.matvec(s)
+        return jnp.einsum("bnc,bnd->bcd", s, a_s, preferred_element_type=s.dtype)
 
 
 @struct.dataclass
@@ -58,4 +94,4 @@ class DenseAdj:
         return jnp.einsum("bnc,bnd->bcd", s, a_s, preferred_element_type=s.dtype)
 
 
-Adjacency = Union[EllAdj, DenseAdj]
+Adjacency = Union[EllAdj, EllAdjFactored, DenseAdj]

@@ -22,11 +22,54 @@ from flax import linen as fnn
 
 from cgcnet_tpu.config import ModelConfig
 from cgcnet_tpu.core.graph import CellGraph
-from cgcnet_tpu.nn.adjacency import DenseAdj, EllAdj
+from cgcnet_tpu.nn.adjacency import DenseAdj, EllAdj, EllAdjFactored
 from cgcnet_tpu.nn.blocks import GNNBlock, diff_pool
 from cgcnet_tpu.nn.jk import DenseJK
 from cgcnet_tpu.nn.layers import TorchLinear, activation
-from cgcnet_tpu.ops.ell import renorm_dense, renorm_ell
+from cgcnet_tpu.ops.ell import EPS, renorm_dense, renorm_ell
+
+
+def make_stage1_adj(graph: CellGraph, cfg: ModelConfig, dtype) -> EllAdj | EllAdjFactored:
+    """Build the stage-1 adjacency.
+
+    With the loader-provided transpose tables (graph.nbr_t), the factored
+    form is used: backward is a gather over the transpose instead of an XLA
+    scatter-add (ops.ell.ell_spmm_factored). Without them (hand-built
+    graphs), the generic weighted ELL with autodiff is used.
+    """
+    impl = "pallas" if cfg.use_pallas else "xla"
+    if graph.nbr_t is None:
+        if cfg.norm_adj:
+            w = renorm_ell(graph.nbr, graph.nbr_mask, graph.n_nodes, cfg.self_weight)
+        else:
+            w = graph.weights()
+        return EllAdj(nbr=graph.nbr, w=w.astype(dtype), impl=impl)
+
+    row = jnp.arange(graph.capacity, dtype=graph.nbr.dtype)[None, :, None]
+    off = graph.nbr_mask * (graph.nbr != row)
+    off_t = graph.nbr_t_mask * (graph.nbr_t != row)
+    deg = jnp.sum(off, axis=-1)
+    valid = graph.mask(dtype)
+    if cfg.norm_adj:
+        scale = (1.0 - cfg.self_weight) / (deg + EPS) * valid
+        self_w = cfg.self_weight * valid
+        # renormalized rows sum to <= 1, so SAGE's clamp(min=1) pins the
+        # mean-denominator at exactly 1
+        rowsum = jnp.ones_like(valid)
+    else:
+        scale = valid
+        self_w = valid
+        rowsum = (deg + 1.0) * valid
+    return EllAdjFactored(
+        nbr=graph.nbr,
+        off_mask=off.astype(dtype),
+        nbr_t=graph.nbr_t,
+        off_mask_t=off_t.astype(dtype),
+        scale=scale.astype(dtype),
+        self_w=self_w.astype(dtype),
+        rowsum_=rowsum.astype(dtype),
+        impl=impl,
+    )
 
 
 def masked_max_readout(
@@ -79,12 +122,7 @@ class CGCNet(fnn.Module):
         assigns: list[jax.Array] = []
 
         # ---- stage 1: sparse ELL ----
-        if c.norm_adj:
-            w = renorm_ell(graph.nbr, graph.nbr_mask, graph.n_nodes, c.self_weight)
-        else:
-            w = graph.weights()
-        impl = "pallas" if c.use_pallas else "xla"
-        adj = EllAdj(nbr=graph.nbr, w=w.astype(dtype), impl=impl)
+        adj = make_stage1_adj(graph, c, dtype)
 
         outs = []
         embed = self._block("embed1", c.embedding_dim, lin=False)(

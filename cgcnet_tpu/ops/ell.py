@@ -72,6 +72,56 @@ def ell_gather_sum(
 ell_spmm = ell_gather_sum
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7,))
+def ell_spmm_factored(
+    nbr: jax.Array,
+    off_mask: jax.Array,
+    nbr_t: jax.Array,
+    off_mask_t: jax.Array,
+    scale: jax.Array,
+    self_w: jax.Array,
+    x: jax.Array,
+    impl: str = "xla",
+) -> jax.Array:
+    """A @ x for A = diag(scale) * B_off + self_w * I.
+
+    ``B_off`` is the binary *off-diagonal* adjacency (``nbr`` with self slots
+    masked out of ``off_mask``); ``nbr_t``/``off_mask_t`` its transpose (the
+    loader's in-edge lists, core/convert.transpose_ell_np). The factorization
+    covers both reference adjacency modes (model/network.py:183-191 and the
+    raw binary path):
+
+      norm_adj:  scale = (1-p)/deg_off * valid, self_w = p * valid
+      binary  :  scale = valid,                 self_w = valid
+
+    (``self_w`` is per-row [B, N] — zero on padded rows, so neither output
+    nor gradient leaks through padding.)
+
+    The payoff is the VJP: dL/dx = B_off^T (scale * g) + self_w * g — a
+    *gather* over the transpose, not an XLA scatter-add. Both directions run
+    the same kernel. Weights are data-derived constants; their tangents are
+    zero.
+    """
+    gathered = ell_gather_sum(nbr, off_mask, x, impl=impl)
+    return scale[..., None] * gathered + self_w[..., None] * x
+
+
+def _factored_fwd(nbr, off_mask, nbr_t, off_mask_t, scale, self_w, x, impl="xla"):
+    out = ell_spmm_factored(nbr, off_mask, nbr_t, off_mask_t, scale, self_w, x, impl)
+    return out, (nbr, off_mask, nbr_t, off_mask_t, scale, self_w)
+
+
+def _factored_bwd(impl, res, g):
+    nbr, off_mask, nbr_t, off_mask_t, scale, self_w = res
+    sg = scale[..., None] * g
+    dx = ell_gather_sum(nbr_t, off_mask_t, sg, impl=impl) + self_w[..., None] * g
+    z = jax.tree.map(jnp.zeros_like, (nbr, off_mask, nbr_t, off_mask_t, scale, self_w))
+    return (*z, dx)
+
+
+ell_spmm_factored.defvjp(_factored_fwd, _factored_bwd)
+
+
 def renorm_ell(
     nbr: jax.Array,
     nbr_mask: jax.Array,

@@ -57,6 +57,31 @@ def load_checkpoint(path: str | Path, target: Any) -> tuple[Any, dict]:
     return state, meta
 
 
+def load_partial(path: str | Path, target: Any) -> tuple[Any, list[str], list[str]]:
+    """Copy matching leaves from a checkpoint into ``target``; skip missing or
+    shape-mismatched entries (reference ``copy_state_dict``,
+    common/utils.py:96-116). Returns (state, copied, skipped)."""
+    import numpy as np
+    from flax.traverse_util import flatten_dict, unflatten_dict
+
+    path = Path(path)
+    raw = serialization.msgpack_restore(path.read_bytes())
+    flat_src = flatten_dict(raw, sep="/")
+    state_dict = serialization.to_state_dict(target)
+    flat_dst = flatten_dict(state_dict, sep="/")
+    copied, skipped = [], []
+    for k, v in flat_dst.items():
+        if k in flat_src and np.shape(flat_src[k]) == np.shape(v):
+            flat_dst[k] = flat_src[k]
+            copied.append(k)
+        else:
+            skipped.append(k)
+    restored = serialization.from_state_dict(
+        target, unflatten_dict(flat_dst, sep="/")
+    )
+    return restored, copied, skipped
+
+
 def resolve_resume_path(ckpt_dir: str | Path, resume: str) -> Path:
     ckpt_dir = Path(ckpt_dir)
     if resume == "best":

@@ -1,0 +1,48 @@
+"""Partial checkpoint loading + bf16 compute path."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from cgcnet_tpu.train.checkpoint import load_partial, save_checkpoint
+
+
+def test_load_partial(tmp_path, rng):
+    src = {
+        "a": jnp.asarray(rng.normal(size=(3, 3)).astype(np.float32)),
+        "b": jnp.asarray(rng.normal(size=(2,)).astype(np.float32)),
+    }
+    save_checkpoint(tmp_path, src, epoch=0)
+    target = {
+        "a": jnp.zeros((3, 3)),          # matching -> copied
+        "b": jnp.zeros((5,)),            # shape mismatch -> skipped
+        "c": jnp.ones((1,)),             # missing in ckpt -> skipped
+    }
+    restored, copied, skipped = load_partial(tmp_path / "weight.msgpack", target)
+    np.testing.assert_array_equal(np.asarray(restored["a"]), np.asarray(src["a"]))
+    np.testing.assert_array_equal(np.asarray(restored["b"]), np.zeros(5))
+    assert copied == ["a"] and sorted(skipped) == ["b", "c"]
+
+
+def test_bf16_forward(rng):
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from __graft_entry__ import _example_graph
+    from cgcnet_tpu.config import ModelConfig
+    from cgcnet_tpu.nn.model import CGCNet
+
+    graph = _example_graph(batch=2, cap=64)
+    cfg32 = ModelConfig(max_num_nodes=128, use_pallas=False, drop_out=0.0)
+    cfg16 = ModelConfig(
+        max_num_nodes=128, use_pallas=False, drop_out=0.0,
+        compute_dtype="bfloat16",
+    )
+    model32, model16 = CGCNet(cfg32), CGCNet(cfg16)
+    v = model32.init({"params": jax.random.key(0)}, graph, train=False)
+    out32 = np.asarray(model32.apply(v, graph, train=False))
+    out16 = np.asarray(model16.apply(v, graph, train=False))
+    assert out16.dtype == np.float32  # logits cast back to f32
+    # bf16 matmuls: loose agreement only
+    np.testing.assert_allclose(out16, out32, atol=0.1, rtol=0.1)
