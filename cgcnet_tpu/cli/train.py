@@ -62,6 +62,11 @@ def main(argv=None) -> dict:
             [f"data.root={root}", "data.max_num_nodes=512"]
         )
 
+    if cfg.train.debug_nans:
+        from cgcnet_tpu.utils.profiling import enable_debug_checks
+
+        enable_debug_checks()
+
     from cgcnet_tpu.dataflow.dataset import NucleiGraphDataset
     from cgcnet_tpu.dataflow.loader import GraphLoader
     from cgcnet_tpu.train.loop import Trainer, evaluate, resume_state
@@ -78,10 +83,12 @@ def main(argv=None) -> dict:
     train_loader = GraphLoader(
         train_ds, cfg.data.batch_size, shuffle=True,
         num_workers=cfg.data.num_workers, seed=cfg.data.seed, drop_last=True,
+        dynamic_buckets=cfg.data.dynamic_buckets,
     )
     val_loader = GraphLoader(
         val_ds, cfg.data.batch_size, shuffle=False,
         num_workers=cfg.data.num_workers,
+        dynamic_buckets=cfg.data.dynamic_buckets,
     )
 
     steps_per_epoch = train_loader.batches_per_epoch()

@@ -101,6 +101,10 @@ class DataConfig:
     # Replay offline pre-sampled node choices (dataflow/fixed_epochs.py)
     # instead of sampling in the loader; epochs wrap modulo num_fixed_epochs.
     use_fixed: bool = False
+    # Pad each batch to a power-of-two node bucket instead of the full
+    # dataset capacity (fewer wasted FLOPs on small patches; a handful of
+    # extra jit shapes). Off = reference-style fixed capacity.
+    dynamic_buckets: bool = False
     batch_size: int = 4
     num_workers: int = 4
     prefetch: int = 2
@@ -140,6 +144,8 @@ class TrainConfig:
     seed: int = 0
     log_every: int = 10
     profile: bool = False
+    tensorboard: bool = False      # also mirror metrics to TB event files
+    debug_nans: bool = False       # jax_debug_nans for fault isolation
 
 
 @dataclass

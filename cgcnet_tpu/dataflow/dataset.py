@@ -56,13 +56,14 @@ def round_up(x: int, m: int) -> int:
 
 @dataclasses.dataclass
 class GraphSample:
-    """One patch as padded numpy arrays (pre-batching)."""
+    """One patch as unpadded numpy arrays (the loader pads at collate time,
+    to the dataset capacity or a smaller batch bucket)."""
 
-    x: np.ndarray          # [cap, F] f32, z-scored, zero-padded
-    nbr: np.ndarray        # [cap, K] i32
-    nbr_mask: np.ndarray   # [cap, K] f32
-    nbr_t: np.ndarray      # [cap, KT] i32 (transpose graph)
-    nbr_t_mask: np.ndarray # [cap, KT] f32
+    x: np.ndarray          # [n, F] f32, z-scored
+    nbr: np.ndarray        # [n, K] i32
+    nbr_mask: np.ndarray   # [n, K] f32
+    nbr_t: np.ndarray      # [n, KT] i32 (transpose graph)
+    nbr_t_mask: np.ndarray # [n, KT] f32
     n_nodes: int
     label: int
     patch_idx: int
@@ -194,32 +195,47 @@ class NucleiGraphDataset:
 
         x = (self._slice_features(feats) - self.mean) / self.std
 
-        cap = self.capacity
-        xp = np.zeros((cap, x.shape[1]), np.float32)
-        xp[:n] = x
-        nbrp = np.tile(np.arange(cap, dtype=np.int32)[:, None], (1, nbr.shape[1]))
-        maskp = np.zeros((cap, nbr.shape[1]), np.float32)
-        nbrp[:n], maskp[:n] = nbr, mask
-        nbrtp = np.tile(
-            np.arange(cap, dtype=np.int32)[:, None], (1, self.transpose_width)
-        )
-        masktp = np.zeros((cap, self.transpose_width), np.float32)
-        nbrtp[:n], masktp[:n] = nbr_t, mask_t
-
         return GraphSample(
-            x=xp, nbr=nbrp, nbr_mask=maskp, nbr_t=nbrtp, nbr_t_mask=masktp,
+            x=np.asarray(x, np.float32), nbr=nbr, nbr_mask=mask,
+            nbr_t=nbr_t, nbr_t_mask=mask_t,
             n_nodes=n, label=proto.label, patch_idx=idx, name=name,
         )
 
 
-def collate(samples: Sequence[GraphSample]) -> dict[str, np.ndarray]:
-    """Stack samples into batched arrays (host-side; loader feeds device)."""
+def collate(
+    samples: Sequence[GraphSample], capacity: int | None = None
+) -> dict[str, np.ndarray]:
+    """Pad samples to ``capacity`` nodes and stack into batched arrays.
+
+    Padding convention: features/masks zero; neighbour indices point at the
+    row itself (in-bounds gathers).
+    """
+    if capacity is None:
+        # quantized bucket: 128 * next power of two — bounds the number of
+        # distinct compiled shapes while shrinking padding for small batches
+        need = max(s.n_nodes for s in samples)
+        capacity = 128
+        while capacity < need:
+            capacity *= 2
+
+    def pad_idx(a):
+        out = np.tile(
+            np.arange(capacity, dtype=np.int32)[:, None], (1, a.shape[1])
+        )
+        out[: a.shape[0]] = a
+        return out
+
+    def pad_zero(a):
+        out = np.zeros((capacity,) + a.shape[1:], a.dtype)
+        out[: a.shape[0]] = a
+        return out
+
     return {
-        "x": np.stack([s.x for s in samples]),
-        "nbr": np.stack([s.nbr for s in samples]),
-        "nbr_mask": np.stack([s.nbr_mask for s in samples]),
-        "nbr_t": np.stack([s.nbr_t for s in samples]),
-        "nbr_t_mask": np.stack([s.nbr_t_mask for s in samples]),
+        "x": np.stack([pad_zero(s.x) for s in samples]),
+        "nbr": np.stack([pad_idx(s.nbr) for s in samples]),
+        "nbr_mask": np.stack([pad_zero(s.nbr_mask) for s in samples]),
+        "nbr_t": np.stack([pad_idx(s.nbr_t) for s in samples]),
+        "nbr_t_mask": np.stack([pad_zero(s.nbr_t_mask) for s in samples]),
         "n_nodes": np.asarray([s.n_nodes for s in samples], np.int32),
         "y": np.asarray([s.label for s in samples], np.int32),
         "patch_idx": np.asarray([s.patch_idx for s in samples], np.int32),

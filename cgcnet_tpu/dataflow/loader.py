@@ -54,6 +54,7 @@ class GraphLoader:
         drop_last: bool = False,
         seed: int = 0,
         sharding=None,
+        dynamic_buckets: bool = False,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -63,6 +64,8 @@ class GraphLoader:
         self.drop_last = drop_last
         self.seed = seed
         self.sharding = sharding
+        # fixed capacity (reference-style) unless dynamic bucketing is on
+        self.capacity = None if dynamic_buckets else dataset.capacity
 
     def _epoch_order(self, epoch: int) -> np.ndarray:
         idx = np.arange(len(self.dataset))
@@ -97,4 +100,6 @@ class GraphLoader:
                     submitted += 1
                 samples = [futs.popleft().result() for _ in range(size)]
                 # (the final batch may be smaller; jit caches one extra shape)
-                yield batch_to_cellgraph(collate(samples), sharding=self.sharding)
+                yield batch_to_cellgraph(
+                    collate(samples, self.capacity), sharding=self.sharding
+                )

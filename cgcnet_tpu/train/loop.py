@@ -181,11 +181,25 @@ class Trainer:
         (self.run_dir / "config.json").write_text(cfg.to_json())
         self.log_path = self.run_dir / "metrics.jsonl"
         self.best = {"img_acc": 0.0, "patch_acc": 0.0, "epoch": -1}
+        self._tb = None
+        if cfg.train.tensorboard:
+            # reference logs via tensorboardX (train.py:225-235); here the
+            # flax writer mirrors the JSONL stream into TB event files
+            from flax.metrics import tensorboard as _tb
+
+            self._tb = _tb.SummaryWriter(str(self.run_dir / "tb"))
 
     # ------------------------------------------------------------------
     def _log(self, record: dict) -> None:
         with self.log_path.open("a") as f:
             f.write(json.dumps(record) + "\n")
+        if self._tb is not None:
+            step = record.get("epoch", 0)
+            kind = record.get("kind", "")
+            for key, val in record.items():
+                if isinstance(val, (int, float)) and key not in ("epoch", "batch"):
+                    self._tb.scalar(f"{kind}/{key}", float(val), step)
+            self._tb.flush()
 
     def _maybe_validate(self, epoch: int) -> None:
         if self.val_loader is None:
@@ -214,44 +228,56 @@ class Trainer:
 
     def train(self) -> dict:
         cfg = self.cfg.train
+        from cgcnet_tpu.utils.profiling import trace_context
+
         for epoch in range(self.start_epoch, cfg.num_epochs):
-            t0 = time.perf_counter()
-            losses, edges = [], 0
-            for bi, graph in enumerate(self.train_loader.epoch(epoch)):
-                self.state, metrics = self._train_step(self.state, graph)
-                if (bi + 1) % cfg.log_every == 0:
-                    self._log(
-                        {
-                            "kind": "train",
-                            "epoch": epoch,
-                            "batch": bi,
-                            "loss": float(metrics["loss"]),
-                            "acc": float(metrics["acc"]),
-                        }
-                    )
-                losses.append(metrics["loss"])
-                edges += int(metrics["edges"])
-                if (
-                    cfg.eval_every_batches > 0
-                    and (bi + 1) % cfg.eval_every_batches == 0
-                ):
-                    self._maybe_validate(epoch)
-            dt = time.perf_counter() - t0
-            avg_loss = float(jnp.mean(jnp.stack(losses))) if losses else 0.0
-            self._log(
-                {
-                    "kind": "epoch",
-                    "epoch": epoch,
-                    "avg_loss": avg_loss,
-                    "time_s": dt,
-                    "edges_per_s": edges / dt if dt > 0 else 0.0,
-                }
+            profile_dir = (
+                str(self.run_dir / "profile")
+                if cfg.profile and epoch == self.start_epoch
+                else None
             )
-            self._maybe_validate(epoch)
-            save_checkpoint(
-                self.run_dir, self.state, epoch=epoch, metrics={"avg_loss": avg_loss}
-            )
+            with trace_context(profile_dir):
+                self._run_epoch(epoch)
         return self.best
+
+    def _run_epoch(self, epoch: int) -> None:
+        cfg = self.cfg.train
+        t0 = time.perf_counter()
+        losses, edges = [], 0
+        for bi, graph in enumerate(self.train_loader.epoch(epoch)):
+            self.state, metrics = self._train_step(self.state, graph)
+            if (bi + 1) % cfg.log_every == 0:
+                self._log(
+                    {
+                        "kind": "train",
+                        "epoch": epoch,
+                        "batch": bi,
+                        "loss": float(metrics["loss"]),
+                        "acc": float(metrics["acc"]),
+                    }
+                )
+            losses.append(metrics["loss"])
+            edges += int(metrics["edges"])
+            if (
+                cfg.eval_every_batches > 0
+                and (bi + 1) % cfg.eval_every_batches == 0
+            ):
+                self._maybe_validate(epoch)
+        dt = time.perf_counter() - t0
+        avg_loss = float(jnp.mean(jnp.stack(losses))) if losses else 0.0
+        self._log(
+            {
+                "kind": "epoch",
+                "epoch": epoch,
+                "avg_loss": avg_loss,
+                "time_s": dt,
+                "edges_per_s": edges / dt if dt > 0 else 0.0,
+            }
+        )
+        self._maybe_validate(epoch)
+        save_checkpoint(
+            self.run_dir, self.state, epoch=epoch, metrics={"avg_loss": avg_loss}
+        )
 
 
 def resume_state(cfg: Config, state: TrainState) -> tuple[TrainState, int]:

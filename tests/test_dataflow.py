@@ -65,10 +65,17 @@ def test_dataset_split_and_shapes(synth_root):
     assert all(n.startswith("fold_3") for n in val.names)
     s = ds.get(0, epoch=0)
     assert ds.capacity % 128 == 0
-    assert s.x.shape == (ds.capacity, 18)
-    assert s.nbr.shape == (ds.capacity, 8)
-    assert s.x[s.n_nodes :].sum() == 0  # zero padding
-    assert s.nbr_mask[s.n_nodes :].sum() == 0
+    assert s.x.shape == (s.n_nodes, 18)
+    assert s.nbr.shape == (s.n_nodes, 8)
+    # collate pads to the requested capacity
+    batch = collate([s, ds.get(1, epoch=0)], ds.capacity)
+    assert batch["x"].shape == (2, ds.capacity, 18)
+    assert batch["x"][0, s.n_nodes:].sum() == 0
+    assert batch["nbr_mask"][0, s.n_nodes:].sum() == 0
+    # dynamic bucket: power-of-two times 128, >= max n
+    auto = collate([s], None)
+    cap = auto["x"].shape[1]
+    assert cap >= s.n_nodes and cap % 128 == 0 and (cap & (cap - 1)) == 0
 
 
 def test_sampling_deterministic_per_epoch(synth_root):
