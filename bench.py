@@ -54,9 +54,23 @@ def bench_device_loop(step, x0, iters=100):
     return (time.perf_counter() - t0) / iters
 
 
+def enable_compile_cache() -> None:
+    """Persistent compile cache — tunnel compiles are minutes each."""
+    import os
+
+    import jax
+
+    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+    os.makedirs(cache, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+
 def main() -> None:
     import jax
     import jax.numpy as jnp
+
+    enable_compile_cache()
 
     from cgcnet_tpu.ops.ell import ell_gather_sum
 

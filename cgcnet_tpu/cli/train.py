@@ -67,6 +67,18 @@ def main(argv=None) -> dict:
 
         enable_debug_checks()
 
+    # persistent compile cache (tunnel/TPU compiles are expensive)
+    import os as _os
+
+    import jax as _jax
+
+    _cache = _os.path.join(cfg.train.ckpt_dir, ".jax_cache")
+    _os.makedirs(_cache, exist_ok=True)
+    try:
+        _jax.config.update("jax_compilation_cache_dir", _cache)
+    except Exception:
+        pass
+
     from cgcnet_tpu.dataflow.dataset import NucleiGraphDataset
     from cgcnet_tpu.dataflow.loader import GraphLoader
     from cgcnet_tpu.train.loop import Trainer, evaluate, resume_state

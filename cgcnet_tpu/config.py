@@ -57,9 +57,10 @@ class ModelConfig:
     masked_readout: bool = True
     # Numerics: 'float32' everywhere, or 'bfloat16' matmul inputs w/ f32 accum.
     compute_dtype: str = "float32"
-    # Use the Pallas block-sparse aggregation kernel for stage-1 (vs XLA
-    # gather). Requires the loader's BSR metadata (spatial sort + block maps).
-    use_pallas: bool = False
+    # Pallas block-sparse aggregation kernel for stage-1 (vs XLA gather):
+    # 'auto' = on TPU backends when the batch carries BSR metadata,
+    # 'always' / 'never' force it (bool accepted as always/never).
+    use_pallas: str | bool = "auto"
 
     @property
     def assign_dims(self) -> tuple[int, int]:
@@ -105,6 +106,13 @@ class DataConfig:
     # dataset capacity (fewer wasted FLOPs on small patches; a handful of
     # extra jit shapes). Off = reference-style fixed capacity.
     dynamic_buckets: bool = False
+    # Sort sampled nuclei into spatial bands (y-band then x) so the radius
+    # graph is band-limited — required by the block-sparse Pallas kernel and
+    # harmless otherwise (GNN output is node-permutation invariant).
+    spatial_sort: bool = True
+    # Blocks-per-row-tile capacity for the BSR kernel metadata (0 disables
+    # metadata generation; model then falls back to XLA gathers).
+    bsr_blocks: int = 8
     batch_size: int = 4
     num_workers: int = 4
     prefetch: int = 2

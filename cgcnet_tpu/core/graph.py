@@ -64,9 +64,16 @@ class CellGraph:
     patch_idx: Optional[jax.Array] = None
     # Transposed adjacency (in-edge lists). Optional: only the training path
     # needs it — aggregation's VJP is aggregation over the transpose
-    # (ops/pallas/ell_kernel.ell_spmm_factored).
+    # (ops.ell.ell_spmm_factored).
     nbr_t: Optional[jax.Array] = None
     nbr_t_mask: Optional[jax.Array] = None
+    # Block-sparse metadata for the Pallas MXU aggregation kernel
+    # (ops/pallas/bsr_kernel.py): nonzero 128x128 block columns per row tile,
+    # for the forward and transposed graphs. Requires spatially-sorted nodes.
+    blk_cols: Optional[jax.Array] = None      # i32[B, N/128, M]
+    blk_mask: Optional[jax.Array] = None      # f32[B, N/128, M]
+    blk_cols_t: Optional[jax.Array] = None
+    blk_mask_t: Optional[jax.Array] = None
 
     @property
     def batch_size(self) -> int:

@@ -179,6 +179,14 @@ class NucleiGraphDataset:
         n = min(n, self.capacity)
         feats, coords = feats[:n], coords[:n]
 
+        if cfg.spatial_sort and n > 1:
+            # band sort (y-band of one radius, then x): keeps radius-graph
+            # neighbours close in index space -> block-limited adjacency for
+            # the BSR kernel; model output is permutation-invariant
+            band = np.floor(coords[:, 0] / max(cfg.max_edge_distance, 1.0))
+            order = np.lexsort((coords[:, 1], band))
+            feats, coords = feats[order], coords[order]
+
         if cfg.graph_sampler == "knn":
             nbr, mask = _radius_knn(
                 coords, cfg.max_edge_distance, cfg.max_neighbours
@@ -203,12 +211,15 @@ class NucleiGraphDataset:
 
 
 def collate(
-    samples: Sequence[GraphSample], capacity: int | None = None
+    samples: Sequence[GraphSample],
+    capacity: int | None = None,
+    bsr_blocks: int = 0,
 ) -> dict[str, np.ndarray]:
     """Pad samples to ``capacity`` nodes and stack into batched arrays.
 
     Padding convention: features/masks zero; neighbour indices point at the
-    row itself (in-bounds gathers).
+    row itself (in-bounds gathers). ``bsr_blocks > 0`` additionally emits
+    block-sparse metadata for the Pallas kernel (forward + transpose).
     """
     if capacity is None:
         # quantized bucket: 128 * next power of two — bounds the number of
@@ -230,7 +241,7 @@ def collate(
         out[: a.shape[0]] = a
         return out
 
-    return {
+    batch = {
         "x": np.stack([pad_zero(s.x) for s in samples]),
         "nbr": np.stack([pad_idx(s.nbr) for s in samples]),
         "nbr_mask": np.stack([pad_zero(s.nbr_mask) for s in samples]),
@@ -240,3 +251,20 @@ def collate(
         "y": np.asarray([s.label for s in samples], np.int32),
         "patch_idx": np.asarray([s.patch_idx for s in samples], np.int32),
     }
+    if bsr_blocks > 0:
+        from cgcnet_tpu.ops.pallas.bsr_kernel import bsr_block_meta
+
+        for src, msk, cname, mname in (
+            ("nbr", "nbr_mask", "blk_cols", "blk_mask"),
+            ("nbr_t", "nbr_t_mask", "blk_cols_t", "blk_mask_t"),
+        ):
+            cols, masks = [], []
+            for bi in range(len(samples)):
+                c, m, _ = bsr_block_meta(
+                    batch[src][bi], batch[msk][bi], bsr_blocks
+                )
+                cols.append(c)
+                masks.append(m)
+            batch[cname] = np.stack(cols)
+            batch[mname] = np.stack(masks)
+    return batch

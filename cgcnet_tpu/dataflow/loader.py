@@ -28,6 +28,7 @@ from cgcnet_tpu.dataflow.dataset import GraphSample, NucleiGraphDataset, collate
 
 def batch_to_cellgraph(batch: dict, device=None, sharding=None) -> CellGraph:
     put = lambda a: jax.device_put(a, sharding or device)
+    opt = lambda k: put(batch[k]) if k in batch else None
     return CellGraph(
         x=put(batch["x"]),
         nbr=put(batch["nbr"]),
@@ -37,6 +38,10 @@ def batch_to_cellgraph(batch: dict, device=None, sharding=None) -> CellGraph:
         patch_idx=put(batch["patch_idx"]),
         nbr_t=put(batch["nbr_t"]),
         nbr_t_mask=put(batch["nbr_t_mask"]),
+        blk_cols=opt("blk_cols"),
+        blk_mask=opt("blk_mask"),
+        blk_cols_t=opt("blk_cols_t"),
+        blk_mask_t=opt("blk_mask_t"),
     )
 
 
@@ -55,6 +60,7 @@ class GraphLoader:
         seed: int = 0,
         sharding=None,
         dynamic_buckets: bool = False,
+        bsr_blocks: int | None = None,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -66,6 +72,9 @@ class GraphLoader:
         self.sharding = sharding
         # fixed capacity (reference-style) unless dynamic bucketing is on
         self.capacity = None if dynamic_buckets else dataset.capacity
+        self.bsr_blocks = (
+            dataset.cfg.bsr_blocks if bsr_blocks is None else bsr_blocks
+        )
 
     def _epoch_order(self, epoch: int) -> np.ndarray:
         idx = np.arange(len(self.dataset))
@@ -101,5 +110,6 @@ class GraphLoader:
                 samples = [futs.popleft().result() for _ in range(size)]
                 # (the final batch may be smaller; jit caches one extra shape)
                 yield batch_to_cellgraph(
-                    collate(samples, self.capacity), sharding=self.sharding
+                    collate(samples, self.capacity, self.bsr_blocks),
+                    sharding=self.sharding,
                 )

@@ -16,7 +16,9 @@ import jax
 import jax.numpy as jnp
 from flax import struct
 
-from cgcnet_tpu.ops.ell import ell_gather_sum, ell_spmm_factored
+from typing import Optional
+
+from cgcnet_tpu.ops.ell import bsr_spmm_factored, ell_gather_sum, ell_spmm_factored
 
 
 @struct.dataclass
@@ -24,7 +26,8 @@ class EllAdjFactored:
     """Stage-1 adjacency in factored form A = diag(scale)·B_off + diag(self_w)
     with the transposed graph carried for a scatter-free backward
     (ops.ell.ell_spmm_factored). Preferred whenever the loader supplies
-    ``nbr_t`` (training path)."""
+    ``nbr_t`` (training path). With block metadata and impl='pallas', both
+    directions run the gather-free MXU kernel (ops/pallas/bsr_kernel.py)."""
 
     nbr: jax.Array          # i32[B, N, K]
     off_mask: jax.Array     # f32[B, N, K] (self slots zeroed)
@@ -33,9 +36,27 @@ class EllAdjFactored:
     scale: jax.Array        # f32[B, N]
     self_w: jax.Array       # f32[B, N]
     rowsum_: jax.Array      # f32[B, N]
+    blk_cols: Optional[jax.Array] = None
+    blk_mask: Optional[jax.Array] = None
+    blk_cols_t: Optional[jax.Array] = None
+    blk_mask_t: Optional[jax.Array] = None
     impl: str = struct.field(pytree_node=False, default="xla")
 
     def matvec(self, x: jax.Array) -> jax.Array:
+        if self.impl == "pallas" and self.blk_cols is not None:
+            return bsr_spmm_factored(
+                self.nbr,
+                self.off_mask.astype(x.dtype),
+                self.blk_cols,
+                self.blk_mask,
+                self.nbr_t,
+                self.off_mask_t.astype(x.dtype),
+                self.blk_cols_t,
+                self.blk_mask_t,
+                self.scale.astype(x.dtype),
+                self.self_w.astype(x.dtype),
+                x,
+            )
         return ell_spmm_factored(
             self.nbr,
             self.off_mask.astype(x.dtype),
@@ -44,7 +65,7 @@ class EllAdjFactored:
             self.scale.astype(x.dtype),
             self.self_w.astype(x.dtype),
             x,
-            self.impl,
+            "xla",
         )
 
     def rowsum(self) -> jax.Array:

@@ -35,15 +35,23 @@ def make_stage1_adj(graph: CellGraph, cfg: ModelConfig, dtype) -> EllAdj | EllAd
     With the loader-provided transpose tables (graph.nbr_t), the factored
     form is used: backward is a gather over the transpose instead of an XLA
     scatter-add (ops.ell.ell_spmm_factored). Without them (hand-built
-    graphs), the generic weighted ELL with autodiff is used.
+    graphs), the generic weighted ELL with autodiff is used. The Pallas BSR
+    kernel engages per cfg.use_pallas ('auto' = TPU + metadata present).
     """
-    impl = "pallas" if cfg.use_pallas else "xla"
+    use_pallas = cfg.use_pallas
+    if use_pallas == "auto":
+        use_pallas = jax.default_backend() == "tpu"
+    elif use_pallas == "always":
+        use_pallas = True
+    elif use_pallas == "never":
+        use_pallas = False
+    impl = "pallas" if (use_pallas and graph.blk_cols is not None) else "xla"
     if graph.nbr_t is None:
         if cfg.norm_adj:
             w = renorm_ell(graph.nbr, graph.nbr_mask, graph.n_nodes, cfg.self_weight)
         else:
             w = graph.weights()
-        return EllAdj(nbr=graph.nbr, w=w.astype(dtype), impl=impl)
+        return EllAdj(nbr=graph.nbr, w=w.astype(dtype), impl="xla")
 
     row = jnp.arange(graph.capacity, dtype=graph.nbr.dtype)[None, :, None]
     off = graph.nbr_mask * (graph.nbr != row)
@@ -68,6 +76,10 @@ def make_stage1_adj(graph: CellGraph, cfg: ModelConfig, dtype) -> EllAdj | EllAd
         scale=scale.astype(dtype),
         self_w=self_w.astype(dtype),
         rowsum_=rowsum.astype(dtype),
+        blk_cols=graph.blk_cols,
+        blk_mask=graph.blk_mask,
+        blk_cols_t=graph.blk_cols_t,
+        blk_mask_t=graph.blk_mask_t,
         impl=impl,
     )
 

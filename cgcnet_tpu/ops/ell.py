@@ -122,6 +122,62 @@ def _factored_bwd(impl, res, g):
 ell_spmm_factored.defvjp(_factored_fwd, _factored_bwd)
 
 
+@jax.custom_vjp
+def bsr_spmm_factored(
+    nbr: jax.Array,
+    off_mask: jax.Array,
+    blk_cols: jax.Array,
+    blk_mask: jax.Array,
+    nbr_t: jax.Array,
+    off_mask_t: jax.Array,
+    blk_cols_t: jax.Array,
+    blk_mask_t: jax.Array,
+    scale: jax.Array,
+    self_w: jax.Array,
+    x: jax.Array,
+) -> jax.Array:
+    """Same contract as :func:`ell_spmm_factored`, but both directions run
+    the gather-free Pallas block-sparse MXU kernel
+    (ops/pallas/bsr_kernel.bsr_gather_sum) using loader-built block metadata
+    over spatially-sorted nodes."""
+    from cgcnet_tpu.ops.pallas.bsr_kernel import bsr_gather_sum
+
+    gathered = bsr_gather_sum(nbr, off_mask, blk_cols, blk_mask, x)
+    return scale[..., None] * gathered + self_w[..., None] * x
+
+
+def _bsr_fwd(nbr, off_mask, blk_cols, blk_mask, nbr_t, off_mask_t,
+             blk_cols_t, blk_mask_t, scale, self_w, x):
+    out = bsr_spmm_factored(
+        nbr, off_mask, blk_cols, blk_mask, nbr_t, off_mask_t,
+        blk_cols_t, blk_mask_t, scale, self_w, x,
+    )
+    res = (nbr, off_mask, blk_cols, blk_mask, nbr_t, off_mask_t,
+           blk_cols_t, blk_mask_t, scale, self_w)
+    return out, res
+
+
+def _bsr_bwd(res, g):
+    from cgcnet_tpu.ops.pallas.bsr_kernel import bsr_gather_sum
+
+    (nbr, off_mask, blk_cols, blk_mask, nbr_t, off_mask_t,
+     blk_cols_t, blk_mask_t, scale, self_w) = res
+    sg = scale[..., None] * g
+    dx = (
+        bsr_gather_sum(nbr_t, off_mask_t, blk_cols_t, blk_mask_t, sg)
+        + self_w[..., None] * g
+    )
+    z = jax.tree.map(
+        jnp.zeros_like,
+        (nbr, off_mask, blk_cols, blk_mask, nbr_t, off_mask_t,
+         blk_cols_t, blk_mask_t, scale, self_w),
+    )
+    return (*z, dx)
+
+
+bsr_spmm_factored.defvjp(_bsr_fwd, _bsr_bwd)
+
+
 def renorm_ell(
     nbr: jax.Array,
     nbr_mask: jax.Array,

@@ -1,0 +1,248 @@
+"""Block-sparse (BSR) aggregation kernel — gather-free SpMM on the MXU.
+
+Why: XLA lowers ELL aggregation to row-gathers whose cost is per-ROW latency,
+not bytes — profiling the train step shows a [B*N*KT, 20] backward gather
+costing 3.2 ms for 44 MB of data, and the 1140-wide DiffPool gathers ~19 ms
+(see CLAUDE.md). Mosaic exposes no general gather either (vreg-local only).
+
+Design: nuclei are spatially sorted by the loader, so the radius graph is
+band-limited — each 128-row tile's neighbours fall into a handful of 128-col
+tiles. The kernel walks the nonzero block list per row tile (scalar-prefetched
+block-column indices), materializes each 128x128 adjacency block *on the fly
+in VMEM* from the ELL slots (K broadcast-compares on the VPU — no block
+values ever touch HBM), and contracts it with the matching feature tile on
+the MXU:
+
+    out[r*T:(r+1)*T] = sum_m  A_block(r, cols[r, m]) @ x[cols[r, m]*T : +T]
+
+Per block: ~131k VPU compare-accumulate ops to build A_block, then a
+128x128xF MXU matmul. For F=1140 this turns a ~2.5 GB gather into ~20 GFLOP
+of bf16-width matmul; for F=20 it replaces per-row latency with a few
+microseconds of MXU time.
+
+The same kernel runs the backward over the transposed graph's ELL + block
+metadata (see ops.ell.ell_spmm_factored wiring in nn/adjacency.py).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+TILE = 128
+
+_INTERPRET = False
+
+
+def set_interpret(value: bool) -> None:
+    global _INTERPRET
+    _INTERPRET = value
+
+
+# ---------------------------------------------------------------------------
+# host-side metadata builder
+# ---------------------------------------------------------------------------
+
+def bsr_block_meta(
+    nbr: np.ndarray,
+    mask: np.ndarray,
+    max_blocks: int,
+    tile: int = TILE,
+) -> tuple[np.ndarray, np.ndarray, int]:
+    """Per-row-tile nonzero block-column lists.
+
+    Args:
+      nbr/mask: [N, K] padded ELL (N a multiple of ``tile``).
+      max_blocks: static blocks-per-row-tile capacity.
+
+    Returns (blk_cols i32[R, max_blocks], blk_mask f32[R, max_blocks],
+    max_needed). Raises if a row tile touches more than ``max_blocks`` column
+    tiles — spatially sort the nodes or raise the cap.
+    """
+    n, _ = nbr.shape
+    assert n % tile == 0, f"N={n} not a multiple of {tile}"
+    r = n // tile
+    blk_cols = np.zeros((r, max_blocks), np.int32)
+    blk_mask = np.zeros((r, max_blocks), np.float32)
+    max_needed = 0
+    for ri in range(r):
+        rows = slice(ri * tile, (ri + 1) * tile)
+        cols = np.unique((nbr[rows][mask[rows] > 0]) // tile)
+        max_needed = max(max_needed, len(cols))
+        if len(cols) > max_blocks:
+            raise ValueError(
+                f"row tile {ri} touches {len(cols)} column tiles > cap "
+                f"{max_blocks}; spatially sort nodes or raise bsr max_blocks"
+            )
+        blk_cols[ri, : len(cols)] = cols
+        blk_mask[ri, : len(cols)] = 1.0
+    return blk_cols, blk_mask, max_needed
+
+
+# ---------------------------------------------------------------------------
+# kernel
+# ---------------------------------------------------------------------------
+
+def _bsr_kernel(
+    blk_cols_ref,   # scalar prefetch: i32[B, R, M]
+    blk_mask_ref,   # scalar prefetch: i32[B, R, M]
+    nbr_ref,        # i32[1, T, K]
+    w_ref,          # f32[1, T, K]
+    x_ref,          # f32[1, T, F]   (column tile selected via blk_cols)
+    out_ref,        # f32[1, T, F]
+):
+    b = pl.program_id(0)
+    ri = pl.program_id(1)
+    m = pl.program_id(2)
+
+    t, k = nbr_ref.shape[1], nbr_ref.shape[2]
+    col_base = blk_cols_ref[b, ri, m] * t
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (t, t), 1) + col_base
+    nbr = nbr_ref[0]
+    w = w_ref[0]
+    # bm zeroes the contribution of padding block slots; every grid step
+    # writes the output block (required for the revisit/accumulate pipeline)
+    bm = blk_mask_ref[b, ri, m].astype(jnp.float32)
+    block = jnp.zeros((t, t), jnp.float32)
+    for kk in range(k):
+        hit = (nbr[:, kk][:, None] == col_ids).astype(jnp.float32)
+        block = block + w[:, kk][:, None] * hit
+    contrib = jnp.dot(
+        (bm * block).astype(x_ref.dtype),
+        x_ref[0],
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(m == 0)
+    def _():
+        out_ref[0] = contrib.astype(out_ref.dtype)
+
+    @pl.when(m > 0)
+    def _():
+        out_ref[0] += contrib.astype(out_ref.dtype)
+
+
+def _bsr_kernel_resident(
+    blk_cols_ref,   # scalar prefetch: i32[B, R, M]
+    blk_mask_ref,   # scalar prefetch: i32[B, R, M]
+    nbr_ref,        # i32[1, N, K]
+    w_ref,          # f32[1, N, K]
+    x_ref,          # [1, N, F]  (whole table resident in VMEM)
+    out_ref,        # [1, N, F]
+):
+    b = pl.program_id(0)
+    n, k = nbr_ref.shape[1], nbr_ref.shape[2]
+    t = TILE
+    r = n // t
+    m_cap = blk_cols_ref.shape[2]
+    f = x_ref.shape[2]
+
+    def row_tile(ri, _):
+        base = pl.multiple_of(ri * t, t)
+        nbr = nbr_ref[0, pl.ds(base, t), :]
+        w = w_ref[0, pl.ds(base, t), :]
+        acc = jnp.zeros((t, f), jnp.float32)
+        for mi in range(m_cap):  # static unroll over the block list
+            col_base = pl.multiple_of(blk_cols_ref[b, ri, mi] * t, t)
+            bm = blk_mask_ref[b, ri, mi].astype(jnp.float32)
+            col_ids = (
+                jax.lax.broadcasted_iota(jnp.int32, (t, t), 1) + col_base
+            )
+            block = jnp.zeros((t, t), jnp.float32)
+            for kk in range(k):
+                hit = (nbr[:, kk][:, None] == col_ids).astype(jnp.float32)
+                block = block + w[:, kk][:, None] * hit
+            xt = x_ref[0, pl.ds(col_base, t), :]
+            acc = acc + bm * jnp.dot(
+                block.astype(xt.dtype), xt, preferred_element_type=jnp.float32
+            )
+        out_ref[0, pl.ds(base, t), :] = acc.astype(out_ref.dtype)
+        return 0
+
+    jax.lax.fori_loop(0, r, row_tile, 0)
+
+
+def _bsr_resident_call(nbr, w, blk_cols, blk_mask, x):
+    b, n, k = nbr.shape
+    f = x.shape[-1]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, n, k), lambda bi, bc, bm: (bi, 0, 0)),
+            pl.BlockSpec((1, n, k), lambda bi, bc, bm: (bi, 0, 0)),
+            pl.BlockSpec((1, n, f), lambda bi, bc, bm: (bi, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, n, f), lambda bi, bc, bm: (bi, 0, 0)),
+    )
+    return pl.pallas_call(
+        _bsr_kernel_resident,
+        out_shape=jax.ShapeDtypeStruct((b, n, f), x.dtype),
+        grid_spec=grid_spec,
+        interpret=_INTERPRET,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * (n // TILE) * blk_cols.shape[-1] * TILE * TILE * f,
+            bytes_accessed=b * n * (2 * k * 4 + 2 * f * 4),
+            transcendentals=0,
+        ),
+    )(blk_cols, blk_mask.astype(jnp.int32), nbr, w.astype(jnp.float32), x)
+
+
+# feature tables up to this many bytes stay fully VMEM-resident (the
+# single-grid-step kernel); larger tables use the tiled column-DMA kernel
+_RESIDENT_LIMIT = 4 * 1024 * 1024
+
+
+def bsr_gather_sum(
+    nbr: jax.Array,        # i32[B, N, K]
+    w: jax.Array,          # f32[B, N, K] (mask folded in)
+    blk_cols: jax.Array,   # i32[B, R, M]
+    blk_mask: jax.Array,   # i32/f32[B, R, M]
+    x: jax.Array,          # [B, N, F]
+) -> jax.Array:
+    """out[b,i] = sum_k w[b,i,k] * x[b, nbr[b,i,k]] via block-sparse MXU.
+
+    Equivalent to ops.ell.ell_gather_sum given correct block metadata
+    (every edge's column tile listed in ``blk_cols`` for its row tile).
+    """
+    b, n, k = nbr.shape
+    f = x.shape[-1]
+    itemsize = jnp.dtype(x.dtype).itemsize
+    if n * f * itemsize <= _RESIDENT_LIMIT:
+        return _bsr_resident_call(nbr, w, blk_cols, blk_mask, x)
+    r = n // TILE
+    m = blk_cols.shape[-1]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(b, r, m),
+        in_specs=[
+            pl.BlockSpec(
+                (1, TILE, k), lambda bi, ri, mi, bc, bm: (bi, ri, 0)
+            ),
+            pl.BlockSpec(
+                (1, TILE, k), lambda bi, ri, mi, bc, bm: (bi, ri, 0)
+            ),
+            pl.BlockSpec(
+                (1, TILE, f), lambda bi, ri, mi, bc, bm: (bi, bc[bi, ri, mi], 0)
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, TILE, f), lambda bi, ri, mi, bc, bm: (bi, ri, 0)
+        ),
+    )
+    return pl.pallas_call(
+        _bsr_kernel,
+        out_shape=jax.ShapeDtypeStruct((b, n, f), x.dtype),
+        grid_spec=grid_spec,
+        interpret=_INTERPRET,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * r * m * TILE * TILE * f,
+            bytes_accessed=b * n * (2 * k * 4 + 2 * f * 4),
+            transcendentals=0,
+        ),
+    )(blk_cols, blk_mask.astype(jnp.int32), nbr, w.astype(jnp.float32), x)
