@@ -76,16 +76,25 @@ def main() -> None:
 
     B, N, K, F = 4, 5760, 8, 20
     rng = np.random.default_rng(0)
-    nbr = jnp.asarray(rng.integers(0, N, size=(B, N, K)).astype(np.int32))
-    w = jnp.asarray((rng.uniform(size=(B, N, K)) < 0.95).astype(np.float32))
+    # realistic spatially-banded radius-kNN graphs (BSR kernel's contract)
+    import __graft_entry__ as ge
+
+    graph = ge._example_graph(batch=B, cap=N, feat=F, kt=16)
+    from cgcnet_tpu.config import ModelConfig
+    from cgcnet_tpu.nn.model import make_stage1_adj
+
+    mcfg = ModelConfig(max_num_nodes=2 * N, use_pallas="auto")
+    adj = make_stage1_adj(graph, mcfg, jnp.float32)
+    nbr, w = graph.nbr, graph.weights()
     x = jnp.asarray(rng.normal(size=(B, N, F)).astype(np.float32))
     g = jnp.asarray(rng.normal(size=(B, N, F)).astype(np.float32))
-    edges = int(np.asarray(w).sum())
+    edges = int(np.asarray(graph.nbr_mask).sum())
 
-    # --- ours: sparse ELL aggregation fwd+bwd (device-looped) ---
+    # --- ours: sparse aggregation fwd+bwd (factored adjacency; Pallas BSR
+    # kernel on TPU, XLA gather elsewhere), device-looped ---
     def sparse_step(xx):
         def loss(v):
-            return jnp.sum(ell_gather_sum(nbr, w, v) * g)
+            return jnp.sum(adj.matvec(v) * g)
 
         val, grad = jax.value_and_grad(loss)(xx)
         return xx + 1e-12 * grad  # data dependency across iterations
@@ -109,14 +118,13 @@ def main() -> None:
 
     # --- context: full model train step ---
     try:
-        import __graft_entry__ as ge
         from cgcnet_tpu.config import Config
         from cgcnet_tpu.train.loop import make_train_step
         from cgcnet_tpu.train.optim import make_optimizer
         from cgcnet_tpu.train.state import create_train_state
 
         cfg = Config().apply_overrides(["model.max_num_nodes=11404"])
-        graph = ge._example_graph(batch=4, cap=N)
+        graph = ge._example_graph(batch=4, cap=N, kt=16)
         tx = make_optimizer(cfg.train, steps_per_epoch=100)
         model, state = create_train_state(cfg, tx, graph)
         step_fn = make_train_step(model)

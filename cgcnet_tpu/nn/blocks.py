@@ -26,23 +26,74 @@ class GNNBlock(fnn.Module):
     (reference model/network.py:78-82). BN runs over flattened [B*N, C]
     (model/network.py:101-107); with ``masked_bn`` the statistics exclude
     padded rows (TPU-build fix; set False for reference-quirk parity).
+
+    Besides the plain ``__call__``, the block exposes ``conv_step``/``finish``
+    so the model can interleave two blocks over one shared aggregation (the
+    embed/pool pair of each stage reads the same adjacency — see
+    nn/model.py stage 1).
     """
 
     hidden_dim: int
     embedding_dim: int
     use_bias: bool = True
     use_bn: bool = True
-    lin: bool = True
+    use_lin: bool = True
     gcn_name: str = "SAGE"
     act: str = "relu"
     masked_bn: bool = True
 
-    def _conv(self, features: int, name: str):
-        if self.gcn_name == "SAGE":
-            return SAGEConv(features, use_bias=self.use_bias, name=name)
-        return GINConv(features, act=self.act, name=name)
+    def setup(self):
+        # setup(): names come from the attribute names (param-tree layout
+        # matches the reference module names for checkpoint transplant)
+        def conv(features):
+            if self.gcn_name == "SAGE":
+                return SAGEConv(features, use_bias=self.use_bias)
+            return GINConv(features, act=self.act)
 
-    @fnn.compact
+        self.gcn1 = conv(self.hidden_dim)
+        self.gcn2 = conv(self.hidden_dim)
+        self.gcn3 = conv(self.embedding_dim)
+        if self.use_bn:
+            self.bn1 = TorchBatchNorm(self.hidden_dim)
+            self.bn2 = TorchBatchNorm(self.hidden_dim)
+            self.bn3 = TorchBatchNorm(self.embedding_dim)
+        if self.use_lin:
+            self.lin = TorchLinear(self.embedding_dim)
+
+    # ------------------------------------------------------------------
+    def conv_step(
+        self,
+        i: int,
+        x: jax.Array,
+        adj: Adjacency,
+        mask: Optional[jax.Array],
+        *,
+        train: bool = False,
+        agg: Optional[jax.Array] = None,
+    ) -> jax.Array:
+        """conv_i -> activation -> bn_i. ``agg`` optionally supplies the
+        precomputed neighbourhood aggregation A @ x."""
+        conv = (self.gcn1, self.gcn2, self.gcn3)[i - 1]
+        h = conv(x, adj, mask, agg=agg)
+        h = activation(self.act)(h)
+        if self.use_bn:
+            bn = (self.bn1, self.bn2, self.bn3)[i - 1]
+            bn_mask = mask if self.masked_bn else None
+            h = bn(h, use_running_average=not train, mask=bn_mask)
+        return h
+
+    def finish(
+        self, xs: list[jax.Array], mask: Optional[jax.Array]
+    ) -> jax.Array:
+        out = jnp.concatenate(xs, axis=-1)
+        if mask is not None:
+            out = out * mask[..., None].astype(out.dtype)
+        if self.use_lin:
+            out = self.lin(out)
+            if mask is not None:
+                out = out * mask[..., None].astype(out.dtype)
+        return out
+
     def __call__(
         self,
         x: jax.Array,
@@ -51,27 +102,45 @@ class GNNBlock(fnn.Module):
         *,
         train: bool = False,
     ) -> jax.Array:
-        act = activation(self.act)
-        bn_mask = mask if self.masked_bn else None
+        x1 = self.conv_step(1, x, adj, mask, train=train)
+        x2 = self.conv_step(2, x1, adj, mask, train=train)
+        x3 = self.conv_step(3, x2, adj, mask, train=train)
+        return self.finish([x1, x2, x3], mask)
 
-        def bn(i, h, feats):
-            if not self.use_bn:
-                return h
-            return TorchBatchNorm(feats, name=f"bn{i}")(
-                h, use_running_average=not train, mask=bn_mask
-            )
 
-        x1 = bn(1, act(self._conv(self.hidden_dim, "gcn1")(x, adj, mask)), self.hidden_dim)
-        x2 = bn(2, act(self._conv(self.hidden_dim, "gcn2")(x1, adj, mask)), self.hidden_dim)
-        x3 = bn(3, act(self._conv(self.embedding_dim, "gcn3")(x2, adj, mask)), self.embedding_dim)
-        out = jnp.concatenate([x1, x2, x3], axis=-1)
-        if mask is not None:
-            out = out * mask[..., None].astype(out.dtype)
-        if self.lin:
-            out = TorchLinear(self.embedding_dim, name="lin")(out)
-            if mask is not None:
-                out = out * mask[..., None].astype(out.dtype)
-        return out
+def paired_blocks(
+    embed_blk: GNNBlock,
+    pool_blk: GNNBlock,
+    x: jax.Array,
+    adj: Adjacency,
+    mask: Optional[jax.Array],
+    *,
+    train: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    """Run an (embed, pool) block pair over one shared aggregation stream.
+
+    Layer 1 reads the same input — one A@x serves both; layers 2-3
+    concatenate the two feature streams into a single matvec and split.
+    Halves the number of sparse-aggregation kernel launches vs running the
+    blocks independently, with bit-identical per-block math.
+    """
+    agg1 = adj.matvec(x)
+    e = embed_blk.conv_step(1, x, adj, mask, train=train, agg=agg1)
+    p = pool_blk.conv_step(1, x, adj, mask, train=train, agg=agg1)
+    e_outs, p_outs = [e], [p]
+    for i in (2, 3):
+        he = e_outs[-1]
+        hp = p_outs[-1]
+        cat = jnp.concatenate([he, hp], axis=-1)
+        agg = adj.matvec(cat)
+        agg_e, agg_p = jnp.split(agg, [he.shape[-1]], axis=-1)
+        e_outs.append(
+            embed_blk.conv_step(i, he, adj, mask, train=train, agg=agg_e)
+        )
+        p_outs.append(
+            pool_blk.conv_step(i, hp, adj, mask, train=train, agg=agg_p)
+        )
+    return embed_blk.finish(e_outs, mask), pool_blk.finish(p_outs, mask)
 
 
 def diff_pool(

@@ -76,9 +76,14 @@ class SAGEConv(fnn.Module):
 
     @fnn.compact
     def __call__(
-        self, x: jax.Array, adj: Adjacency, mask: Optional[jax.Array] = None
+        self,
+        x: jax.Array,
+        adj: Adjacency,
+        mask: Optional[jax.Array] = None,
+        *,
+        agg: Optional[jax.Array] = None,
     ) -> jax.Array:
-        out = adj.matvec(x)
+        out = adj.matvec(x) if agg is None else agg
         denom = jnp.clip(adj.rowsum(), min=1.0)[..., None].astype(out.dtype)
         out = out / denom
         out = TorchLinear(self.features, use_bias=self.use_bias, name="lin")(out)
@@ -101,9 +106,14 @@ class GINConv(fnn.Module):
 
     @fnn.compact
     def __call__(
-        self, x: jax.Array, adj: Adjacency, mask: Optional[jax.Array] = None
+        self,
+        x: jax.Array,
+        adj: Adjacency,
+        mask: Optional[jax.Array] = None,
+        *,
+        agg: Optional[jax.Array] = None,
     ) -> jax.Array:
-        out = adj.matvec(x)
+        out = adj.matvec(x) if agg is None else agg
         out = TorchLinear(self.features, name="mlp_0")(out)
         out = activation(self.act)(out)
         out = TorchLinear(self.features, name="mlp_1")(out)

@@ -23,7 +23,7 @@ from flax import linen as fnn
 from cgcnet_tpu.config import ModelConfig
 from cgcnet_tpu.core.graph import CellGraph
 from cgcnet_tpu.nn.adjacency import DenseAdj, EllAdj, EllAdjFactored
-from cgcnet_tpu.nn.blocks import GNNBlock, diff_pool
+from cgcnet_tpu.nn.blocks import GNNBlock, diff_pool, paired_blocks
 from cgcnet_tpu.nn.jk import DenseJK
 from cgcnet_tpu.nn.layers import TorchLinear, activation
 from cgcnet_tpu.ops.ell import EPS, renorm_dense, renorm_ell
@@ -111,7 +111,7 @@ class CGCNet(fnn.Module):
             embedding_dim=embedding,
             use_bias=c.bias,
             use_bn=c.bn,
-            lin=lin,
+            use_lin=lin,
             gcn_name=c.gcn_name,
             act=c.activation,
             masked_bn=c.masked_bn,
@@ -137,16 +137,17 @@ class CGCNet(fnn.Module):
         adj = make_stage1_adj(graph, c, dtype)
 
         outs = []
-        embed = self._block("embed1", c.embedding_dim, lin=False)(
-            x, adj, mask, train=train
+        # embed/pool pairs share one aggregation stream per layer (halves the
+        # sparse-kernel launches; per-block math is unchanged)
+        embed, assign_logits = paired_blocks(
+            self._block("embed1", c.embedding_dim, lin=False),
+            self._block("pool1", assign_dim1, lin=True),
+            x, adj, mask, train=train,
         )
         if c.jk:
             embed = DenseJK(c.hidden_dim, 3, name="jk1")(embed)
         outs.append(masked_max_readout(embed, mask, c.masked_readout))
 
-        assign_logits = self._block("pool1", assign_dim1, lin=True)(
-            x, adj, mask, train=train
-        )
         x, pooled_adj, s = diff_pool(embed, adj, assign_logits, mask)
         if collect_assign:
             assigns.append(s)
@@ -155,16 +156,15 @@ class CGCNet(fnn.Module):
         if c.norm_adj:
             pooled_adj = renorm_dense(pooled_adj, c.self_weight)
         adj2 = DenseAdj(pooled_adj.astype(dtype))
-        embed = self._block("embed2", c.embedding_dim, lin=False)(
-            x, adj2, None, train=train
+        embed, assign_logits = paired_blocks(
+            self._block("embed2", c.embedding_dim, lin=False),
+            self._block("pool2", assign_dim2, lin=True),
+            x, adj2, None, train=train,
         )
         if c.jk:
             embed = DenseJK(c.hidden_dim, 3, name="jk2")(embed)
         outs.append(jnp.max(embed, axis=1))
 
-        assign_logits = self._block("pool2", assign_dim2, lin=True)(
-            x, adj2, None, train=train
-        )
         x, pooled_adj, s = diff_pool(embed, adj2, assign_logits, None)
         if collect_assign:
             assigns.append(s)
