@@ -72,7 +72,7 @@ def transpose_ell_np(
 
     For edge i -> j (slot (i, k) with nbr[i,k]=j), the transpose places i in
     row j. Used by the training path: the VJP of aggregation is aggregation
-    over the transposed graph (ops/pallas/ell_kernel.ell_spmm_factored).
+    over the transposed graph (ops.ell.ell_spmm_factored).
 
     Returns (nbr_t i32[N, width_t], mask_t f32[N, width_t], max_indegree).
     Raises if any in-degree exceeds ``width_t`` (pick a larger bucket).

@@ -12,8 +12,9 @@ Two implementations with identical semantics:
 
 - ``impl='xla'``: jnp gather (XLA lowers to dynamic-gather; autodiff gives the
   scatter-add backward for free).
-- ``impl='pallas'``: a Pallas TPU kernel that streams row tiles through VMEM
-  (cgcnet_tpu/ops/pallas/ell_kernel.py) with a custom VJP.
+- the Pallas block-sparse MXU kernel (ops/pallas/bsr_kernel.py), engaged via
+  :func:`bsr_spmm_factored` when the loader supplies block metadata — on TPU
+  the per-row-latency cost of XLA gathers makes this decisively faster.
 
 The adaptive-GraphSAGE renormalization (reference ``_re_norm_adj``,
 model/network.py:183-191: zero diagonal, row-normalize, scale by (1-p), set
@@ -60,11 +61,7 @@ def ell_gather_sum(
       w:   f32[B, N, K] edge weights; padding slots must carry weight 0.
       x:   f32[B, N, F] node features.
     """
-    impl = impl or _DEFAULT_IMPL
-    if impl == "pallas":
-        from cgcnet_tpu.ops.pallas.ell_kernel import ell_gather_sum_pallas
-
-        return ell_gather_sum_pallas(nbr, w, x)
+    del impl  # the XLA gather is the only generic impl; see bsr_spmm_factored
     return _gather_sum_xla(nbr, w, x)
 
 

@@ -1,0 +1,70 @@
+"""Multi-process worker for tests/test_multihost.py (run as a subprocess).
+
+Each process hosts 2 virtual CPU devices; the global (data,) mesh spans
+processes, so the gradient psum of the DP train step rides the cross-process
+(Gloo) collective path — the CPU stand-in for multi-host ICI/DCN
+(SURVEY.md §4.4, mesh bootstrap cgcnet_tpu/parallel/mesh.py:multihost_init).
+"""
+
+import os
+import sys
+
+
+def main() -> None:
+    pid, nproc, port = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_num_cpu_devices", 2)
+    jax.distributed.initialize(
+        f"localhost:{port}", num_processes=nproc, process_id=pid
+    )
+    import numpy as np
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from __graft_entry__ import _example_graph
+    from cgcnet_tpu.config import Config
+    from cgcnet_tpu.train.loop import make_train_step
+    from cgcnet_tpu.train.optim import make_optimizer
+    from cgcnet_tpu.train.state import create_train_state
+
+    ndev = jax.device_count()
+    mesh = jax.make_mesh(
+        (ndev,), ("data",),
+        axis_types=(jax.sharding.AxisType.Auto,),
+    )
+    cfg = Config().apply_overrides(
+        ["model.max_num_nodes=128", "model.hidden_dim=8",
+         "model.embedding_dim=8", "model.assign_hidden_dim=8",
+         "model.drop_out=0.0", "model.use_pallas=never"]
+    )
+    graph = _example_graph(batch=ndev, cap=64, bsr_blocks=0)
+    # each process contributes its local slice of the global batch
+    bspec = NamedSharding(mesh, P("data"))
+    per = ndev // nproc
+
+    def to_global(a):
+        a = np.asarray(a)
+        return jax.make_array_from_process_local_data(
+            bspec if a.ndim > 0 else NamedSharding(mesh, P()),
+            a[pid * per : (pid + 1) * per],
+        )
+
+    graph_g = jax.tree.map(to_global, graph)
+    tx = make_optimizer(cfg.train, steps_per_epoch=1)
+    model, state = create_train_state(cfg, tx, graph)
+    rspec = NamedSharding(mesh, P())
+    state = jax.tree.map(lambda a: jax.device_put(a, rspec), state)
+    step_fn = make_train_step(model)
+    step = jax.jit(lambda s, g: step_fn(s, g, tx))
+    new_state, metrics = step(state, graph_g)
+    loss = float(jax.device_get(metrics["loss"]))
+    # parameter psum consistency: norm of one updated kernel
+    leaf = jax.tree.leaves(jax.device_get(new_state.params))[0]
+    print(f"RESULT {pid} loss={loss:.6f} leafsum={float(np.sum(leaf)):.6f}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,78 @@
+"""Multi-process (multi-host stand-in) training-step equivalence.
+
+Spawns 2 coordinator-connected JAX processes (2 CPU devices each) running
+one DP training step on a 4-graph batch sharded across all 4 global devices,
+and checks both processes agree with the single-process result — the CPU
+analog of the reference's missing multi-node story (SURVEY.md §2.4) and of
+``jax.distributed.initialize`` multi-host bootstrap.
+"""
+
+import re
+import socket
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+import jax
+
+
+def _free_port() -> int:
+    s = socket.socket()
+    s.bind(("localhost", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+@pytest.mark.slow
+def test_two_process_dp_step_matches_single():
+    port = _free_port()
+    worker = Path(__file__).parent / "mh_worker.py"
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(worker), str(i), "2", str(port)],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+            env={"PATH": "/usr/bin:/bin", "JAX_PLATFORMS": "cpu",
+                 "HOME": "/root"},
+        )
+        for i in range(2)
+    ]
+    results = {}
+    for p in procs:
+        out, _ = p.communicate(timeout=300)
+        text = out.decode()
+        assert p.returncode == 0, text[-2000:]
+        m = re.search(r"RESULT (\d) loss=([-\d.]+) leafsum=([-\d.]+)", text)
+        assert m, text[-2000:]
+        results[int(m.group(1))] = (float(m.group(2)), float(m.group(3)))
+
+    assert set(results) == {0, 1}
+    # both processes see identical global loss and updated params
+    np.testing.assert_allclose(results[0][0], results[1][0], atol=1e-6)
+    np.testing.assert_allclose(results[0][1], results[1][1], atol=1e-5)
+
+    # single-process oracle on the same global batch
+    sys.path.insert(0, str(Path(__file__).parent.parent))
+    from __graft_entry__ import _example_graph
+    from cgcnet_tpu.config import Config
+    from cgcnet_tpu.train.loop import make_train_step
+    from cgcnet_tpu.train.optim import make_optimizer
+    from cgcnet_tpu.train.state import create_train_state
+
+    cfg = Config().apply_overrides(
+        ["model.max_num_nodes=128", "model.hidden_dim=8",
+         "model.embedding_dim=8", "model.assign_hidden_dim=8",
+         "model.drop_out=0.0", "model.use_pallas=never"]
+    )
+    graph = _example_graph(batch=4, cap=64, bsr_blocks=0)
+    tx = make_optimizer(cfg.train, steps_per_epoch=1)
+    model, state = create_train_state(cfg, tx, graph)
+    step_fn = make_train_step(model)
+    _, metrics = jax.jit(lambda s, g: step_fn(s, g, tx))(state, graph)
+    np.testing.assert_allclose(
+        results[0][0], float(metrics["loss"]), atol=1e-5
+    )
