@@ -100,8 +100,8 @@ def partition_graph(
 
     req_idx = np.zeros((num_shards, num_shards, p), np.int32)
     req_mask = np.zeros((num_shards, num_shards, p), np.float32)
-    # recv layout on shard d: [e, slot] -> halo row  (e = owner shard)
-    halo_slot: list[dict[int, int]] = [dict() for _ in range(num_shards)]
+    # per-shard lookup: global node id -> halo slot (ns + e*p + slot)
+    halo_slot = np.full((num_shards, n), -1, np.int64)
     for d in range(num_shards):
         for e in range(num_shards):
             if e == d:
@@ -111,24 +111,20 @@ def partition_graph(
             # req_idx[e, d] (sender-indexed table)
             req_idx[e, d, : len(wanted)] = (wanted % ns).astype(np.int32)
             req_mask[e, d, : len(wanted)] = 1.0
-            for slot, j in enumerate(wanted):
-                halo_slot[d][int(j)] = e * p + slot
+            halo_slot[d, wanted] = e * p + np.arange(len(wanted))
 
-    nbr_remap = np.zeros((num_shards, ns, k), np.int32)
-    nbr_mask = np.zeros((num_shards, ns, k), np.float32)
-    for d in range(num_shards):
-        rows = slice(d * ns, (d + 1) * ns)
-        for i in range(ns):
-            for kk in range(k):
-                if mask[rows][i, kk] <= 0:
-                    nbr_remap[d, i, kk] = i
-                    continue
-                j = int(nbr[rows][i, kk])
-                if j // ns == d:
-                    nbr_remap[d, i, kk] = j % ns
-                else:
-                    nbr_remap[d, i, kk] = ns + halo_slot[d][j]
-                nbr_mask[d, i, kk] = 1.0
+    nbr3 = nbr.reshape(num_shards, ns, k)
+    mask3 = (mask.reshape(num_shards, ns, k) > 0)
+    is_local = owner.reshape(num_shards, ns, k) == np.arange(num_shards)[:, None, None]
+    remap_local = local.reshape(num_shards, ns, k)
+    remap_halo = ns + np.take_along_axis(
+        halo_slot, nbr3.reshape(num_shards, -1).astype(np.int64), axis=1
+    ).reshape(num_shards, ns, k)
+    own_row = np.broadcast_to(np.arange(ns)[None, :, None], nbr3.shape)
+    nbr_remap = np.where(
+        ~mask3, own_row, np.where(is_local, remap_local, remap_halo)
+    ).astype(np.int32)
+    nbr_mask = mask3.astype(np.float32)
 
     return ShardedGraphPartition(
         nbr_remap=nbr_remap,
