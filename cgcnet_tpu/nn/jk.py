@@ -81,16 +81,31 @@ class TorchLSTM(fnn.Module):
 
 
 class DenseJK(fnn.Module):
-    """LSTM-attention JK: [B, N, num_layers*C] -> [B, N, C]."""
+    """Jumping-knowledge aggregation: [B, N, num_layers*C] -> reduced.
+
+    mode='lstm' (the only mode the reference actually implements,
+    model/network.py:16-26) attends over layers with a biLSTM ->
+    [B, N, C]. The reference *asserts* 'cat'/'max' but never implements
+    them (model/network.py:16); here they work: 'cat' is identity over the
+    concat, 'max' takes the elementwise max across layer slices.
+    """
 
     channels: int
     num_layers: int = 3
+    mode: str = "lstm"
 
     @fnn.compact
     def __call__(self, xs: jax.Array) -> jax.Array:
+        assert self.mode in ("cat", "max", "lstm")
+        if self.mode == "cat":
+            return xs
         b, n, total = xs.shape
         c, t = self.channels, self.num_layers
         assert total == c * t, (total, c, t)
+        if self.mode == "max":
+            return jnp.max(
+                jnp.stack(jnp.split(xs, t, axis=-1), axis=0), axis=0
+            )
         # split into layer slices and stack: [B*N, T, C]
         x = jnp.stack(jnp.split(xs, t, axis=-1), axis=2).reshape(b * n, t, c)
         # torch: hidden = channels * num_layers // 2, bidirectional

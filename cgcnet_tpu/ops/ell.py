@@ -31,15 +31,6 @@ import jax.numpy as jnp
 
 EPS = 1e-15  # reference model/network.py:8
 
-_DEFAULT_IMPL = "xla"
-
-
-def set_default_impl(impl: str) -> None:
-    global _DEFAULT_IMPL
-    assert impl in ("xla", "pallas")
-    _DEFAULT_IMPL = impl
-
-
 def _gather_sum_xla(nbr: jax.Array, w: jax.Array, x: jax.Array) -> jax.Array:
     def one(nbr_, w_, x_):
         gathered = x_[nbr_]                      # [N, K, F]
