@@ -38,9 +38,13 @@ from cgcnet_tpu.parallel.mega_graph import (
 )
 
 
-@dataclasses.dataclass
+from flax import struct
+
+
+@struct.dataclass
 class MegaInputs:
-    """Device-ready sharded slide graph (leading dims sharded over 'graph')."""
+    """Device-ready sharded slide graph (leading dims sharded over 'graph').
+    A pytree — can cross jit boundaries directly."""
 
     x: jax.Array           # f32[N, F]
     nbr_remap: jax.Array   # i32[N, K]
