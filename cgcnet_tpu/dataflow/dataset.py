@@ -134,23 +134,24 @@ class NucleiGraphDataset:
             return rng.choice(n, size=num_sub, replace=False).astype(np.int32)
         if cfg.sampling_method == "farthest" and native.available():
             return native.fps_coords(coords, num_sub, rng)
+        if cfg.sampling_method == "fuse" and native.available():
+            # FPS prefix + uniform remainder; the FPS leg takes the native
+            # coords path (identical argmax sequence — squared vs euclidean
+            # distances share the argmax). Never materialize the N x N table.
+            far_num = int(cfg.fuse_far_fraction * num_sub)
+            far_idx = native.fps_coords(coords, far_num, rng)
+            remain = np.setdiff1d(np.arange(n), far_idx)
+            rand_idx = rng.choice(
+                remain, size=min(num_sub - far_num, len(remain)), replace=False
+            ).astype(np.int32)
+            return np.concatenate([far_idx, rand_idx])
+        # NumPy fallbacks (no native lib): distance-table based, O(N^2) memory
         dist = np.sqrt(
             ((coords[:, None, :] - coords[None, :, :]) ** 2).sum(-1)
         ).astype(np.float32)
         if cfg.sampling_method == "farthest":
             return farthest_point_sample_np(dist, num_sub, rng)
         if cfg.sampling_method == "fuse":
-            # FPS prefix + uniform remainder; the FPS leg takes the native
-            # coords path when available (identical argmax sequence —
-            # squared vs euclidean distances share the argmax)
-            far_num = int(cfg.fuse_far_fraction * num_sub)
-            if native.available():
-                far_idx = native.fps_coords(coords, far_num, rng)
-                remain = np.setdiff1d(np.arange(n), far_idx)
-                rand_idx = rng.choice(
-                    remain, size=min(num_sub - far_num, len(remain)), replace=False
-                ).astype(np.int32)
-                return np.concatenate([far_idx, rand_idx])
             return fuse_sample_np(dist, num_sub, rng, cfg.fuse_far_fraction)
         raise ValueError(f"unknown sampling_method {cfg.sampling_method!r}")
 
