@@ -72,7 +72,6 @@ def main() -> None:
 
     enable_compile_cache()
 
-    from cgcnet_tpu.ops.ell import ell_gather_sum
 
     B, N, K, F = 4, 5760, 8, 20
     rng = np.random.default_rng(0)

@@ -26,7 +26,6 @@ from pathlib import Path
 
 import numpy as np
 
-from cgcnet_tpu.config import DataConfig
 from cgcnet_tpu.dataflow.proto import LABEL_NAMES, PatchProto, save_proto
 from cgcnet_tpu.preprocess.features import extract_patch_features
 

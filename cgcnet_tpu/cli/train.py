@@ -17,7 +17,6 @@ Examples:
 from __future__ import annotations
 
 import argparse
-import sys
 import tempfile
 
 from cgcnet_tpu.config import Config

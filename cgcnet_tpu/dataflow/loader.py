@@ -16,14 +16,13 @@ from __future__ import annotations
 
 from collections import deque
 from concurrent.futures import ThreadPoolExecutor
-from typing import Iterator, Optional, Sequence
+from typing import Iterator
 
 import numpy as np
 import jax
-import jax.numpy as jnp
 
 from cgcnet_tpu.core.graph import CellGraph
-from cgcnet_tpu.dataflow.dataset import GraphSample, NucleiGraphDataset, collate
+from cgcnet_tpu.dataflow.dataset import NucleiGraphDataset, collate
 
 
 def batch_to_cellgraph(batch: dict, device=None, sharding=None) -> CellGraph:

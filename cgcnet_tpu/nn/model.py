@@ -14,7 +14,7 @@ applied as ELL row-weights at stage 1 and densely at stages 2-3.
 
 from __future__ import annotations
 
-from typing import Any, Optional
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -26,8 +26,6 @@ metadata (see ops.ell.ell_spmm_factored wiring in nn/adjacency.py).
 
 from __future__ import annotations
 
-import functools
-
 import numpy as np
 import jax
 import jax.numpy as jnp

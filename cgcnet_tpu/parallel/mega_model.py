@@ -22,9 +22,6 @@ tests/test_mega_model.py::test_matches_cellgraph_model).
 
 from __future__ import annotations
 
-import dataclasses
-from typing import Any
-
 import numpy as np
 import jax
 import jax.numpy as jnp

@@ -10,8 +10,6 @@ optax update keeps parameters replicated.
 
 from __future__ import annotations
 
-from typing import Any
-
 import jax
 import jax.numpy as jnp
 import optax
