@@ -96,6 +96,10 @@ class DataConfig:
     graph_sampler: str = "knn"     # 'knn' | 'random'
     max_edge_distance: float = 100.0
     max_neighbours: int = 8
+    # torch-cluster compat: take the FIRST k in index order within the radius
+    # instead of the k nearest (reference radius_graph behaviour — see
+    # ops/knn.py). Default nearest-k (strictly better, still deterministic).
+    knn_scan_order: bool = False
     max_num_nodes: int = 11404     # dataset-wide max node count (setting.py:15)
     dynamic_graph: bool = False    # resample in the loader each epoch
     num_fixed_epochs: int = 30     # offline pre-sampled epoch count (prepare_cv_dataset.py:79)

@@ -30,11 +30,12 @@ from cgcnet_tpu.ops.fps import farthest_point_sample_np, fuse_sample_np
 from cgcnet_tpu.ops.knn import radius_knn_np
 
 
-def _radius_knn(pos, radius, k):
-    """Native grid-hash when available; NumPy oracle otherwise."""
-    if native.available():
+def _radius_knn(pos, radius, k, scan_order=False):
+    """Native grid-hash when available; NumPy oracle otherwise. The
+    torch-cluster-compat scan-order mode only exists in the NumPy builder."""
+    if native.available() and not scan_order:
         return native.radius_knn(pos, radius, k)
-    return radius_knn_np(pos, radius, k)
+    return radius_knn_np(pos, radius, k, scan_order=scan_order)
 
 
 def _transpose(nbr, mask, width):
@@ -190,7 +191,8 @@ class NucleiGraphDataset:
 
         if cfg.graph_sampler == "knn":
             nbr, mask = _radius_knn(
-                coords, cfg.max_edge_distance, cfg.max_neighbours
+                coords, cfg.max_edge_distance, cfg.max_neighbours,
+                scan_order=cfg.knn_scan_order,
             )
         elif cfg.graph_sampler == "random":
             from cgcnet_tpu.dataflow.random_graph import random_distance_graph_ell
