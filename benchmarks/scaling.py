@@ -49,6 +49,7 @@ def main(argv=None):
         partition_graph,
         sharded_gather_sum,
         sharded_gather_sum_allgather,
+        sharded_gather_sum_overlap,
     )
     from cgcnet_tpu.parallel.mesh import make_mesh
 
@@ -93,6 +94,11 @@ def main(argv=None):
             return xx * 0.999 + out * 1e-9
 
         @jax.jit
+        def overlap_step(xx):
+            out = sharded_gather_sum_overlap(xx, *tables, mesh=mesh)
+            return xx * 0.999 + out * 1e-9
+
+        @jax.jit
         def ag_step(xx):
             out = sharded_gather_sum_allgather(
                 xx, put(nbrp), put(maskp), mesh=mesh
@@ -101,7 +107,8 @@ def main(argv=None):
 
         row = {"shards": d, "halo_rows": int(part.req_mask.sum()),
                "halo_frac": float(part.req_mask.sum()) / n}
-        for name, step in (("halo", halo_step), ("allgather", ag_step)):
+        for name, step in (("halo", halo_step), ("overlap", overlap_step),
+                           ("allgather", ag_step)):
             y = step(x)
             jax.block_until_ready(y)
             t0 = time.perf_counter()

@@ -4,6 +4,7 @@ from cgcnet_tpu.parallel.mega_graph import (
     partition_graph,
     sharded_gather_sum,
     sharded_gather_sum_allgather,
+    sharded_gather_sum_overlap,
 )
 
 __all__ = [
@@ -14,4 +15,5 @@ __all__ = [
     "partition_graph",
     "sharded_gather_sum",
     "sharded_gather_sum_allgather",
+    "sharded_gather_sum_overlap",
 ]

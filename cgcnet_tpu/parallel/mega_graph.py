@@ -185,6 +185,54 @@ def sharded_gather_sum(
     return fn(x, nbr_remap, nbr_mask, w, req_idx, req_mask)
 
 
+def sharded_gather_sum_overlap(
+    x: jax.Array,
+    nbr_remap: jax.Array,
+    nbr_mask: jax.Array,
+    w: jax.Array,
+    req_idx: jax.Array,
+    req_mask: jax.Array,
+    mesh: Mesh,
+    axis: str = "graph",
+) -> jax.Array:
+    """Halo aggregation structured for collective/compute overlap.
+
+    Same contract as :func:`sharded_gather_sum`, but the aggregation is split
+    into an interior part (rows whose neighbours are all shard-local — the
+    vast majority under spatial partitioning) that has NO data dependency on
+    the all_to_all, and a boundary part that consumes the received halo. XLA
+    can schedule the interior gather concurrently with the in-flight
+    collective (async collective start/done), hiding the exchange latency —
+    SURVEY.md §7 hard part 3.
+    """
+
+    def local(x_l, nbr_l, mask_l, w_l, req_i, req_m):
+        ns = x_l.shape[0]
+        # a row is interior iff every real slot stays in the local block
+        slot_local = jnp.where(mask_l > 0, nbr_l, 0) < ns
+        interior = jnp.all(slot_local, axis=-1)                  # [Ns]
+        w_int = w_l * interior[:, None]
+        w_bnd = w_l * (~interior)[:, None]
+
+        # start the exchange; the interior gather below does not depend on it
+        halo = _halo_exchange(x_l, req_i, req_m, axis)
+
+        nbr_clipped = jnp.minimum(nbr_l, ns - 1)
+        out_int = ell_gather_sum(nbr_clipped[None], w_int[None], x_l[None])[0]
+
+        xx = jnp.concatenate([x_l, halo], axis=0)
+        out_bnd = ell_gather_sum(nbr_l[None], w_bnd[None], xx[None])[0]
+        return out_int + out_bnd
+
+    fn = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis), P(axis), P(axis), P(axis)),
+        out_specs=P(axis),
+    )
+    return fn(x, nbr_remap, nbr_mask, w, req_idx, req_mask)
+
+
 def sharded_gather_sum_allgather(
     x: jax.Array,
     nbr: jax.Array,

@@ -93,6 +93,34 @@ class TestShardedAggregation:
         )
         np.testing.assert_allclose(np.asarray(out), ref, atol=1e-5)
 
+    @pytest.mark.parametrize("d", [2, 8])
+    def test_overlap_variant_matches(self, rng, d):
+        from cgcnet_tpu.parallel.mega_graph import sharded_gather_sum_overlap
+
+        n, k, f = 128, 4, 8
+        nbr, mask = spatial_graph(rng, n, k)
+        x = rng.normal(size=(n, f)).astype(np.float32)
+        ref = np.asarray(
+            ell_gather_sum(
+                jnp.asarray(nbr)[None], jnp.asarray(mask)[None],
+                jnp.asarray(x)[None],
+            )
+        )[0]
+        mesh = make_mesh(1, d, devices=jax.devices()[:d])
+        part = partition_graph(nbr, mask, d)
+        spec = NamedSharding(mesh, P("graph"))
+        put = lambda a: jax.device_put(jnp.asarray(a), spec)
+        out = sharded_gather_sum_overlap(
+            put(x),
+            put(part.nbr_remap.reshape(n, k)),
+            put(part.nbr_mask.reshape(n, k)),
+            put(part.nbr_mask.reshape(n, k)),
+            put(part.req_idx.reshape(-1, part.halo_capacity)),
+            put(part.req_mask.reshape(-1, part.halo_capacity)),
+            mesh=mesh,
+        )
+        np.testing.assert_allclose(np.asarray(out), ref, atol=1e-5)
+
     def test_allgather_baseline_matches(self, rng):
         n, k, f, d = 64, 4, 8, 4
         nbr, mask = spatial_graph(rng, n, k)
