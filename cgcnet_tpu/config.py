@@ -115,8 +115,10 @@ class DataConfig:
     # harmless otherwise (GNN output is node-permutation invariant).
     spatial_sort: bool = True
     # Blocks-per-row-tile capacity for the BSR kernel metadata (0 disables
-    # metadata generation; model then falls back to XLA gathers).
-    bsr_blocks: int = 8
+    # metadata generation; model then falls back to XLA gathers). Kernel cost
+    # scales with this cap (static unroll) — band-sorted cell graphs need
+    # 3-4; raise it if collate reports an overflow.
+    bsr_blocks: int = 5
     batch_size: int = 4
     num_workers: int = 4
     prefetch: int = 2

@@ -145,7 +145,10 @@ def _bsr_kernel_resident(
         nbr = nbr_ref[0, pl.ds(base, t), :]
         w = w_ref[0, pl.ds(base, t), :]
         acc = jnp.zeros((t, f), jnp.float32)
-        for mi in range(m_cap):  # static unroll over the block list
+        # static unroll over the block-slot capacity: Mosaic pipelines the
+        # unrolled body; a dynamic trip count measured ~20% slower even
+        # though it skips padded slots
+        for mi in range(m_cap):
             col_base = pl.multiple_of(blk_cols_ref[b, ri, mi] * t, t)
             bm = blk_mask_ref[b, ri, mi].astype(jnp.float32)
             col_ids = (
