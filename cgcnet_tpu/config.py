@@ -101,7 +101,10 @@ class DataConfig:
     # ops/knn.py). Default nearest-k (strictly better, still deterministic).
     knn_scan_order: bool = False
     max_num_nodes: int = 11404     # dataset-wide max node count (setting.py:15)
-    dynamic_graph: bool = False    # resample in the loader each epoch
+    # NOTE: the reference's --dynamic_graph flag has no analog here — because
+    # sampling is a pure function of (seed, patch, epoch), per-epoch
+    # resampling is the default behaviour and the pre-baked protocol is just
+    # `use_fixed` below.
     num_fixed_epochs: int = 30     # offline pre-sampled epoch count (prepare_cv_dataset.py:79)
     # Replay offline pre-sampled node choices (dataflow/fixed_epochs.py)
     # instead of sampling in the loader; epochs wrap modulo num_fixed_epochs.
@@ -114,11 +117,11 @@ class DataConfig:
     # graph is band-limited — required by the block-sparse Pallas kernel and
     # harmless otherwise (GNN output is node-permutation invariant).
     spatial_sort: bool = True
-    # Blocks-per-row-tile capacity for the BSR kernel metadata (0 disables
-    # metadata generation; model then falls back to XLA gathers). Kernel cost
-    # scales with this cap (static unroll) — band-sorted cell graphs need
-    # 3-4; raise it if collate reports an overflow.
-    bsr_blocks: int = 5
+    # Ceiling on BSR blocks-per-row-tile (0 disables metadata; the model then
+    # uses XLA gathers). The loader picks the smallest quantized capacity
+    # that fits each batch — kernel cost scales with it — and falls back to
+    # gathers with a warning past this ceiling.
+    bsr_blocks: int = 16
     batch_size: int = 4
     num_workers: int = 4
     prefetch: int = 2

@@ -46,6 +46,21 @@ def set_interpret(value: bool) -> None:
 # host-side metadata builder
 # ---------------------------------------------------------------------------
 
+def bsr_blocks_needed(nbr: np.ndarray, mask: np.ndarray, tile: int = TILE) -> int:
+    """Max column tiles touched by any row tile (the minimal viable
+    ``max_blocks`` for :func:`bsr_block_meta`)."""
+    n = nbr.shape[0]
+    if n % tile != 0:
+        return 1 << 30  # not tileable
+    need = 0
+    for ri in range(n // tile):
+        rows = slice(ri * tile, (ri + 1) * tile)
+        sel = nbr[rows][mask[rows] > 0]
+        if sel.size:
+            need = max(need, len(np.unique(sel // tile)))
+    return max(need, 1)
+
+
 def bsr_block_meta(
     nbr: np.ndarray,
     mask: np.ndarray,
