@@ -90,14 +90,19 @@ def main(argv=None) -> dict:
     )
 
     train_ds = NucleiGraphDataset(cfg.data, "train")
-    val_ds = NucleiGraphDataset(cfg.data, "valid")
+    val_ds = NucleiGraphDataset(
+        cfg.data, "valid", full_graph=cfg.data.full_test_graph
+    )
     train_loader = GraphLoader(
         train_ds, cfg.data.batch_size, shuffle=True,
         num_workers=cfg.data.num_workers, seed=cfg.data.seed, drop_last=True,
         dynamic_buckets=cfg.data.dynamic_buckets,
     )
+    # full-graph test mode evaluates one unsampled patch at a time
+    # (reference NucleiDatasetTest: batch=1, dataflow/data.py:281-316)
     val_loader = GraphLoader(
-        val_ds, cfg.data.batch_size, shuffle=False,
+        val_ds, 1 if cfg.data.full_test_graph else cfg.data.batch_size,
+        shuffle=False,
         num_workers=cfg.data.num_workers,
         dynamic_buckets=cfg.data.dynamic_buckets,
     )
@@ -125,10 +130,13 @@ def main(argv=None) -> dict:
             from cgcnet_tpu.train.checkpoint import load_checkpoint
 
             trainer.state, _ = load_checkpoint(best_ckpt, trainer.state)
+    multi_sample = cfg.data.sample_ratio < 1 and not cfg.data.full_test_graph
     final = evaluate(
         model, trainer.state, val_loader,
-        test_time=cfg.train.test_epoch if cfg.data.sample_ratio < 1 else 1,
+        test_time=cfg.train.test_epoch if multi_sample else 1,
         visualize_dir=(trainer.run_dir / "visual") if args.visualize else None,
+        vote_per_repeat=cfg.train.vote_per_repeat,
+        max_num_examples=cfg.train.eval_max_examples or None,
     )
     print("final:", final)
     return final

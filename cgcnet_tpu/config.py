@@ -109,6 +109,10 @@ class DataConfig:
     # Replay offline pre-sampled node choices (dataflow/fixed_epochs.py)
     # instead of sampling in the loader; epochs wrap modulo num_fixed_epochs.
     use_fixed: bool = False
+    # Evaluate on the full, unsampled graph of every patch at batch size 1
+    # (reference NucleiDatasetTest, dataflow/data.py:281-316). Training still
+    # subsamples; only val/test loaders switch to full graphs.
+    full_test_graph: bool = False
     # Pad each batch to a power-of-two node bucket instead of the full
     # dataset capacity (fewer wasted FLOPs on small patches; a handful of
     # extra jit shapes). Off = reference-style fixed capacity.
@@ -155,6 +159,12 @@ class TrainConfig:
     num_epochs: int = 30
     test_epoch: int = 5            # test-time multi-sampling repeats (train.py:27)
     eval_every_batches: int = 88   # mid-epoch val cadence (~train_iter 3500/40, train.py:176,185)
+    # Image-level voting: one vote per patch per test-time repeat, like the
+    # reference (train.py:32-57); False = vote once on repeat-mean logits.
+    vote_per_repeat: bool = True
+    # Truncate each eval repeat after this many examples (reference
+    # max_num_examples, train.py:60-62); 0 = no truncation.
+    eval_max_examples: int = 0
     ckpt_dir: str = "runs"
     run_name: str = ""
     resume: str = ""               # '' | 'best' | 'weight' | explicit path

@@ -85,16 +85,22 @@ class NucleiGraphDataset:
         *,
         use_reference_stats: bool = False,
         transpose_width: int = 24,
+        full_graph: bool = False,
     ):
         self.cfg = cfg
         self.split = split
+        # full-graph mode: no subsampling, capacity covers the unsampled
+        # dataset maximum (reference NucleiDatasetTest, dataflow/data.py:281-316)
+        self.full_graph = full_graph
         folds = CROSS_VAL_FOLDS[cfg.cross_val][split]
         self.names = list_protos(cfg.root, folds, cfg.dataset)
         if not self.names:
             raise FileNotFoundError(
                 f"no protos for folds {folds} under {cfg.root}/proto/feature/{cfg.dataset}"
             )
-        self.capacity = round_up(cfg.padded_nodes, 128)
+        self.capacity = round_up(
+            cfg.max_num_nodes if full_graph else cfg.padded_nodes, 128
+        )
         self.transpose_width = transpose_width
         if use_reference_stats:
             self.mean, self.std = stats_mod.reference_stats(
@@ -166,7 +172,9 @@ class NucleiGraphDataset:
 
         purpose = "train" if self.split == "train" else "val"
         rng = patch_rng(cfg.seed, name, epoch, purpose)
-        if cfg.use_fixed:
+        if self.full_graph:
+            pass  # full unsampled graph (NucleiDatasetTest mode)
+        elif cfg.use_fixed:
             from cgcnet_tpu.dataflow.fixed_epochs import load_fixed_choice
 
             choice = load_fixed_choice(cfg, name, epoch % cfg.num_fixed_epochs)

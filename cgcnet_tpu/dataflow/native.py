@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import ctypes
 import subprocess
+import threading
 from pathlib import Path
 
 import numpy as np
@@ -18,9 +19,20 @@ import numpy as np
 _LIB = None
 _TRIED = False
 _SO = Path(__file__).resolve().parent.parent.parent / "native" / "libcgraph.so"
+_LOAD_LOCK = threading.Lock()
 
 
 def _load():
+    # double-checked lock: GraphLoader worker threads may race on first use,
+    # and the slow path can spawn a g++ build — run it exactly once
+    global _LIB, _TRIED
+    if _TRIED:
+        return _LIB
+    with _LOAD_LOCK:
+        return _load_locked()
+
+
+def _load_locked():
     global _LIB, _TRIED
     if _TRIED:
         return _LIB

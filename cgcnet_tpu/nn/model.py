@@ -65,9 +65,13 @@ def make_stage1_adj(graph: CellGraph, cfg: ModelConfig, dtype) -> EllAdj | EllAd
         # mean-denominator at exactly 1
         rowsum = jnp.ones_like(valid)
     else:
+        # binary adjacency: only contribute a self loop if the graph actually
+        # carries one (loader builds with loop=True, but hand-built graphs may
+        # not — keep the factored and non-factored paths consistent)
+        has_self = jnp.max(graph.nbr_mask * (graph.nbr == row), axis=-1)
         scale = valid
-        self_w = valid
-        rowsum = (deg + 1.0) * valid
+        self_w = has_self * valid
+        rowsum = (deg + has_self) * valid
     return EllAdjFactored(
         nbr=graph.nbr,
         off_mask=off.astype(dtype),

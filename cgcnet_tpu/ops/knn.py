@@ -94,12 +94,14 @@ def radius_knn_jnp(
     valid = idx < n_nodes
     d2 = jnp.sum((pos[:, None, :] - pos[None, :, :]) ** 2, axis=-1)
     ok = (d2 <= float(radius) ** 2) & valid[None, :] & valid[:, None]
-    #
 
-    # Score: prefer in-radius, then smaller distance, then smaller index.
-    # top_k is descending, so negate. Index tie-break via a < 1 fractional bias.
-    score = jnp.where(ok, -(d2 + idx[None, :].astype(d2.dtype) / (2.0 * n)), -jnp.inf)
-    vals, nbr = jax.lax.top_k(score, k)
+    # Exact two-key lexicographic order (distance, then index) — matches
+    # radius_knn_np's lexsort bit-for-bit; a fractional score bias would
+    # mis-order near-equal f32 distances at large n.
+    d2_key = jnp.where(ok, d2, jnp.inf)
+    idx_b = jnp.broadcast_to(idx[None, :], (n, n))
+    d2_sorted, nbr_sorted = jax.lax.sort((d2_key, idx_b), num_keys=2)
+    vals, nbr = d2_sorted[:, :k], nbr_sorted[:, :k]
     mask = jnp.isfinite(vals).astype(jnp.float32)
     nbr = jnp.where(mask > 0, nbr.astype(jnp.int32), idx[:, None])
     return nbr, mask

@@ -179,7 +179,10 @@ class _ShardedAdj:
             p = cfg.self_weight
             self.scale = (1.0 - p) / (deg + EPS) * inputs.valid
             self.self_w = p
-            self._rowsum = (0.6 * (deg > 0) + p) * inputs.valid
+            # renormalized rows sum to <= 1, so SAGE's clamp(min=1) pins the
+            # mean denominator at exactly 1 — same contract as
+            # nn.model.make_stage1_adj (keeps any cfg.self_weight consistent)
+            self._rowsum = jnp.ones_like(deg)
         else:
             self.scale = inputs.valid
             self.self_w = 1.0

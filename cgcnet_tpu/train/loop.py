@@ -92,8 +92,19 @@ def evaluate(
     eval_step=None,
     visualize_dir: str | Path | None = None,
     visualize_max: int = 50,
+    vote_per_repeat: bool = True,
+    max_num_examples: int | None = None,
 ) -> dict[str, float]:
     """Multi-sampling evaluation -> patch/image/binary accuracy.
+
+    ``vote_per_repeat``: accumulate one image-level vote per patch per
+    test-time repeat, exactly as the reference does (train.py:32-57 calls
+    batch_patch_result inside the rep loop); False votes once on the
+    repeat-mean logits (usually the same argmax, not always). Patch accuracy
+    always uses the mean logits (reference train.py:83-90).
+
+    ``max_num_examples``: per-repeat truncation after ceil(max/batch) batches
+    (reference train.py:60-62 — used for fast train-split eval).
 
     ``visualize_dir``: dump per-patch GEXF files with composed DiffPool
     cluster assignments for the first ``visualize_max`` patches (reference
@@ -112,8 +123,10 @@ def evaluate(
     visualized = 0
     logit_sum: dict[int, np.ndarray] = {}
     labels: dict[int, int] = {}
+    metric = ImageLevelMetric()
+    names = loader.dataset.names
     for rep in range(test_time):
-        for graph in loader.epoch(rep):
+        for batch_idx, graph in enumerate(loader.epoch(rep)):
             if viz_step is not None and rep == 0 and visualized < visualize_max:
                 logits_d, assigns = viz_step(state, graph)
                 logits = np.asarray(logits_d)
@@ -136,18 +149,27 @@ def evaluate(
                     visualized += 1
             else:
                 logits = np.asarray(eval_step(state, graph))
+            y_np = np.asarray(graph.y)
             for i, pidx in enumerate(np.asarray(graph.patch_idx)):
                 pidx = int(pidx)
                 logit_sum[pidx] = logit_sum.get(pidx, 0.0) + logits[i]
-                labels[pidx] = int(np.asarray(graph.y)[i])
-    metric = ImageLevelMetric()
+                labels[pidx] = int(y_np[i])
+                if vote_per_repeat:
+                    metric.add_batch(
+                        [names[pidx]], [int(np.argmax(logits[i]))], [int(y_np[i])]
+                    )
+            if (
+                max_num_examples is not None
+                and (batch_idx + 1) * graph.batch_size > max_num_examples
+            ):
+                break
     preds, gts = [], []
-    names = loader.dataset.names
     for pidx, ls in logit_sum.items():
         pred = int(np.argmax(ls))
         preds.append(pred)
         gts.append(labels[pidx])
-        metric.add_batch([names[pidx]], [pred], [labels[pidx]])
+        if not vote_per_repeat:
+            metric.add_batch([names[pidx]], [pred], [labels[pidx]])
     out = metric.result()
     out["patch_acc"] = patch_accuracy(np.asarray(preds), np.asarray(gts))
     return out
@@ -204,15 +226,19 @@ class Trainer:
     def _maybe_validate(self, epoch: int) -> None:
         if self.val_loader is None:
             return
-        test_time = (
-            self.cfg.train.test_epoch if self.cfg.data.sample_ratio < 1.0 else 1
+        multi_sample = (
+            self.cfg.data.sample_ratio < 1.0
+            and not self.cfg.data.full_test_graph
         )
+        test_time = self.cfg.train.test_epoch if multi_sample else 1
         result = evaluate(
             self.model,
             self.state,
             self.val_loader,
             test_time=test_time,
             eval_step=self._eval_step,
+            vote_per_repeat=self.cfg.train.vote_per_repeat,
+            max_num_examples=self.cfg.train.eval_max_examples or None,
         )
         self._log({"kind": "val", "epoch": epoch, **result})
         # best tracking with the reference's 1e-7 tie forgiveness (train.py:188)

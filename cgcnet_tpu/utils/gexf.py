@@ -63,7 +63,13 @@ def assignments_to_gexf(
     """Graph + composed hierarchical cluster labels -> GEXF (the eval-time
     dump behind --visualization, reference train.py:64-76)."""
     n = n_nodes if n_nodes is not None else coords.shape[0]
-    attrs = _compose_assignments([np.asarray(a)[:n] for a in assign_list])
+    # only level 1 is per-node [N, C1]; deeper levels are [C_l, C_{l+1}]
+    # cluster matrices whose rows are indexed by the previous level's cluster
+    # ids — truncating those to n would drop valid cluster rows
+    assigns = [np.asarray(assign_list[0])[:n]] + [
+        np.asarray(a) for a in assign_list[1:]
+    ]
+    attrs = _compose_assignments(assigns)
     graph_to_gexf(
         coords[:n], nbr[:n], nbr_mask[:n], path, node_attrs=attrs
     )

@@ -33,14 +33,18 @@ def build(rng, n_real, cap, feat=18, k=6):
     return x, nbr_p, mask_p
 
 
-@pytest.mark.parametrize("norm_adj,jk", [(True, True), (False, False)])
-def test_matches_cellgraph_model(rng, norm_adj, jk):
+@pytest.mark.parametrize(
+    "norm_adj,jk,self_weight",
+    [(True, True, 0.4), (False, False, 0.4), (True, False, 0.55)],
+)
+def test_matches_cellgraph_model(rng, norm_adj, jk, self_weight):
     n_real, cap, d = 110, 128, 4
     x, nbr, mask = build(rng, n_real, cap)
     cfg = ModelConfig(
         input_dim=18, max_num_nodes=160, assign_ratio=0.2,
         hidden_dim=8, embedding_dim=8, assign_hidden_dim=8,
         drop_out=0.0, norm_adj=norm_adj, jk=jk, use_pallas=False,
+        self_weight=self_weight,
     )
 
     g = CellGraph(
