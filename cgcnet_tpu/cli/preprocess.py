@@ -11,6 +11,14 @@ Usage:
         --out data [--processes 8]
     python -m cgcnet_tpu.cli.preprocess fixed --root data \
         [data.sampling_method=fuse ...]
+    python -m cgcnet_tpu.cli.preprocess import-reference \
+        --src /path/to/reference_data --dst data
+
+import-reference reads the reference's on-disk artifacts — the
+proto/{feature,coordinate}/<dataset>/... .npy trees
+(construct_feature_graph.py:121-123) and/or torch-pickled PyG Data protos
+(prepare_cv_dataset.py:107, dataflow/data.py:237,253) — so a
+reference-layout directory trains end-to-end with zero manual conversion.
 
 Mask files: <fold>/<grade_dir>/<patch>.npy int instance labels; images:
 matching .png/.tif under --images (optional — without images, intensity
@@ -110,12 +118,101 @@ def run_fixed(argv) -> int:
     return 0
 
 
+def _import_npy_tree(src: Path, dst: str, dataset: str) -> int:
+    """proto/{feature,coordinate}/<dataset>/fold_*/... .npy pairs ->
+    npz protos (reference construct_feature_graph.py:121-123 output layout,
+    read back at prepare_cv_dataset.py:57-61)."""
+    feat_root = src / "proto" / "feature" / dataset
+    count = 0
+    for fpath in sorted(feat_root.rglob("*.npy")):
+        rel = fpath.relative_to(feat_root).with_suffix("")
+        cpath = Path(str(fpath).replace("/feature/", "/coordinate/"))
+        if not cpath.exists():
+            print(f"skip {rel}: no coordinate file", file=sys.stderr)
+            continue
+        feats = np.load(fpath).astype(np.float32)
+        coords = np.load(cpath).astype(np.float32)
+        save_proto(
+            dst,
+            PatchProto(
+                name=str(rel), features=feats, coords=coords,
+                label=_label_from_path(rel),
+            ),
+            dataset,
+        )
+        count += 1
+    return count
+
+
+def _import_pt_tree(src: Path, dst: str, dataset: str) -> int:
+    """torch-pickled PyG ``Data`` protos (x=[N,16|18], pos=[N,2], y) ->
+    npz protos (reference layout written at prepare_cv_dataset.py:107 /
+    read at dataflow/data.py:237,253). Point --src at one epoch directory of
+    a fix_* tree (graphs there are pre-sampled: train with
+    data.sample_ratio=1.0) or at any tree of raw Data pickles."""
+    import torch  # lazy: import-time only for this CLI path, never at runtime
+
+    count = 0
+    for fpath in sorted(src.rglob("*.pt")):
+        rel = fpath.relative_to(src).with_suffix("")
+        data = torch.load(str(fpath), map_location="cpu", weights_only=False)
+        x = np.asarray(data.x.numpy(), np.float32)
+        coords = np.asarray(data.pos.numpy(), np.float32)
+        if x.shape[1] == coords.shape[1] + 16:
+            # reference raw protos append coords to x
+            # (prepare_cv_dataset.py:61) — strip them back off
+            x = x[:, : -coords.shape[1]]
+        try:
+            label = _label_from_path(rel)
+        except ValueError:
+            label = int(np.asarray(data.y).reshape(-1)[0])
+        save_proto(
+            dst,
+            PatchProto(name=str(rel), features=x, coords=coords, label=label),
+            dataset,
+        )
+        count += 1
+    return count
+
+
+def run_import(argv) -> int:
+    p = argparse.ArgumentParser(
+        prog="preprocess import-reference",
+        description="Convert a reference-layout data tree (feature/coordinate "
+        ".npy pairs, or torch .pt PyG Data pickles) into npz protos.",
+    )
+    p.add_argument("--src", required=True, help="reference data root (or .pt tree)")
+    p.add_argument("--dst", required=True, help="output data root")
+    p.add_argument("--dataset", default="colorectal")
+    a = p.parse_args(argv)
+    src = Path(a.src)
+    n = 0
+    if (src / "proto" / "feature" / a.dataset).is_dir():
+        n += _import_npy_tree(src, a.dst, a.dataset)
+    pts = any(src.rglob("*.pt"))
+    if pts:
+        n += _import_pt_tree(src, a.dst, a.dataset)
+    if n == 0:
+        print(
+            f"nothing importable under {src} (expected proto/feature/"
+            f"{a.dataset}/**.npy or **.pt)", file=sys.stderr,
+        )
+        return 1
+    print(f"imported {n} protos -> {a.dst}/proto/feature/{a.dataset}")
+    return 0
+
+
 def main(argv=None) -> int:
     argv = sys.argv[1:] if argv is None else argv
-    if not argv or argv[0] not in ("features", "fixed"):
+    cmds = {
+        "features": run_features,
+        "fixed": run_fixed,
+        "import-reference": run_import,
+    }
+    if not argv or argv[0] not in cmds:
         print(__doc__)
         return 2
-    return {"features": run_features, "fixed": run_fixed}[argv[0]](argv[1:])
+    return cmds[argv[0]](argv[1:])
 
 
 if __name__ == "__main__":

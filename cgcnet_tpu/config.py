@@ -129,6 +129,9 @@ class DataConfig:
     batch_size: int = 4
     num_workers: int = 4
     prefetch: int = 2
+    # Keep loaded protos in RAM (a full CRC fold is ~1.4 GB; removes npz
+    # parse cost from the per-epoch hot loop). Disable for huge datasets.
+    cache_protos: bool = True
     # Small graphs are kept whole: patches under this node count are not
     # subsampled (reference dataflow/data.py:199-201, colon task excluded there;
     # we keep the guard unconditionally — it only helps).

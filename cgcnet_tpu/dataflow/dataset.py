@@ -39,9 +39,19 @@ def _radius_knn(pos, radius, k, scan_order=False):
 
 
 def _transpose(nbr, mask, width):
-    if native.available():
-        return native.transpose_ell(nbr, mask, width)
-    return transpose_ell_np(nbr, mask, width)
+    """Transpose with adaptive width: dense nuclei clusters can push the
+    in-degree past the nominal width (out-degree is capped at K-nearest but
+    nothing bounds how many nodes pick the same in-neighbour) — double the
+    width until it fits; collate() later re-pads a batch to one width."""
+    while True:
+        try:
+            if native.available():
+                return native.transpose_ell(nbr, mask, width)
+            return transpose_ell_np(nbr, mask, width)
+        except ValueError:
+            if width >= 1024:
+                raise
+            width *= 2
 
 # 3-fold cross-validation split table (reference dataflow/data.py:15-19)
 CROSS_VAL_FOLDS = {
@@ -102,6 +112,10 @@ class NucleiGraphDataset:
             cfg.max_num_nodes if full_graph else cfg.padded_nodes, 128
         )
         self.transpose_width = transpose_width
+        # in-RAM proto cache: protos are immutable and a full CRC fold is
+        # ~1.4 GB — caching removes npz/zip parsing from the hot loop
+        # (cfg.cache_protos; thread-safe via setdefault's atomicity)
+        self._proto_cache: dict[str, object] = {}
         if use_reference_stats:
             self.mean, self.std = stats_mod.reference_stats(
                 cfg.cross_val, cfg.feature_type
@@ -129,6 +143,31 @@ class NucleiGraphDataset:
         return len(self.names)
 
     # ------------------------------------------------------------------
+    def _subsample_sorted(
+        self, n: int, coords: np.ndarray, rng: np.random.Generator
+    ) -> np.ndarray | None:
+        """Fused subsample + spatial band sort (one GIL-free native call);
+        None when unavailable for the configured method."""
+        cfg = self.cfg
+        if (
+            not native.available()
+            or not cfg.spatial_sort
+            or cfg.sampling_method not in ("fuse", "farthest", "random")
+        ):
+            return None
+        num_sub = int(n * cfg.sample_ratio)
+        if n < cfg.min_nodes_no_subsample:
+            return None
+        num_sub = min(num_sub, self.capacity)
+        far_num = {
+            "fuse": int(cfg.fuse_far_fraction * num_sub),
+            "farthest": num_sub,
+            "random": 0,
+        }[cfg.sampling_method]
+        return native.sample_and_sort(
+            coords, num_sub, far_num, cfg.max_edge_distance, rng
+        )
+
     def _subsample(
         self, n: int, coords: np.ndarray, rng: np.random.Generator
     ) -> np.ndarray | None:
@@ -162,16 +201,27 @@ class NucleiGraphDataset:
             return fuse_sample_np(dist, num_sub, rng, cfg.fuse_far_fraction)
         raise ValueError(f"unknown sampling_method {cfg.sampling_method!r}")
 
+    def _load_proto(self, name: str):
+        if not self.cfg.cache_protos:
+            return load_proto(self.cfg.root, name, self.cfg.dataset)
+        proto = self._proto_cache.get(name)
+        if proto is None:
+            proto = self._proto_cache.setdefault(
+                name, load_proto(self.cfg.root, name, self.cfg.dataset)
+            )
+        return proto
+
     def get(self, idx: int, epoch: int = 0) -> GraphSample:
         cfg = self.cfg
         name = self.names[idx]
-        proto = load_proto(cfg.root, name, cfg.dataset)
+        proto = self._load_proto(name)
         feats = proto.full_features()
         coords = proto.coords
         n = proto.num_nodes
 
         purpose = "train" if self.split == "train" else "val"
         rng = patch_rng(cfg.seed, name, epoch, purpose)
+        presorted = False
         if self.full_graph:
             pass  # full unsampled graph (NucleiDatasetTest mode)
         elif cfg.use_fixed:
@@ -182,14 +232,17 @@ class NucleiGraphDataset:
                 feats, coords = feats[choice], coords[choice]
                 n = len(choice)
         elif cfg.sample_ratio < 1.0:
-            choice = self._subsample(n, coords, rng)
+            choice = self._subsample_sorted(n, coords, rng)
+            presorted = choice is not None
+            if choice is None:
+                choice = self._subsample(n, coords, rng)
             if choice is not None:
                 feats, coords = feats[choice], coords[choice]
                 n = len(choice)
         n = min(n, self.capacity)
         feats, coords = feats[:n], coords[:n]
 
-        if cfg.spatial_sort and n > 1:
+        if cfg.spatial_sort and not presorted and n > 1:
             # band sort (y-band of one radius, then x): keeps radius-graph
             # neighbours close in index space -> block-limited adjacency for
             # the BSR kernel; model output is permutation-invariant
@@ -240,33 +293,44 @@ def collate(
         while capacity < need:
             capacity *= 2
 
-    def pad_idx(a):
+    def pad_idx(a, width=None):
+        width = a.shape[1] if width is None else width
         out = np.tile(
-            np.arange(capacity, dtype=np.int32)[:, None], (1, a.shape[1])
+            np.arange(capacity, dtype=np.int32)[:, None], (1, width)
         )
-        out[: a.shape[0]] = a
+        out[: a.shape[0], : a.shape[1]] = a
         return out
 
-    def pad_zero(a):
-        out = np.zeros((capacity,) + a.shape[1:], a.dtype)
-        out[: a.shape[0]] = a
+    def pad_zero(a, width=None):
+        shape = (capacity,) + (
+            a.shape[1:] if width is None else (width,) + a.shape[2:]
+        )
+        out = np.zeros(shape, a.dtype)
+        out[: a.shape[0], : a.shape[1]] = a
         return out
 
+    # transpose widths are adaptive per sample (dense clusters) — unify to
+    # the batch maximum (extra slots: self index, mask 0)
+    wt = max(s.nbr_t.shape[1] for s in samples)
     batch = {
         "x": np.stack([pad_zero(s.x) for s in samples]),
         "nbr": np.stack([pad_idx(s.nbr) for s in samples]),
         "nbr_mask": np.stack([pad_zero(s.nbr_mask) for s in samples]),
-        "nbr_t": np.stack([pad_idx(s.nbr_t) for s in samples]),
-        "nbr_t_mask": np.stack([pad_zero(s.nbr_t_mask) for s in samples]),
+        "nbr_t": np.stack([pad_idx(s.nbr_t, wt) for s in samples]),
+        "nbr_t_mask": np.stack([pad_zero(s.nbr_t_mask, wt) for s in samples]),
         "n_nodes": np.asarray([s.n_nodes for s in samples], np.int32),
         "y": np.asarray([s.label for s in samples], np.int32),
         "patch_idx": np.asarray([s.patch_idx for s in samples], np.int32),
     }
     if bsr_blocks > 0:
-        from cgcnet_tpu.ops.pallas.bsr_kernel import (
-            bsr_block_meta,
-            bsr_blocks_needed,
-        )
+        if native.available():
+            bsr_block_meta = native.bsr_block_meta
+            bsr_blocks_needed = native.bsr_blocks_needed
+        else:
+            from cgcnet_tpu.ops.pallas.bsr_kernel import (
+                bsr_block_meta,
+                bsr_blocks_needed,
+            )
 
         # quantized per-batch block capacity: tight metadata (BSR kernel cost
         # scales with the cap) with a bounded set of compiled shapes;

@@ -41,7 +41,11 @@ def _gen_one(args) -> str:
     proto = load_proto(cfg.root, name, cfg.dataset)
     for epoch in range(num_epochs):
         rng = patch_rng(cfg.seed, name, epoch, "train")
-        choice = ds._subsample(proto.num_nodes, proto.coords, rng)
+        # same sampling path as NucleiGraphDataset.get (fused native first)
+        # so use_fixed replay is bit-identical to online sampling
+        choice = ds._subsample_sorted(proto.num_nodes, proto.coords, rng)
+        if choice is None:
+            choice = ds._subsample(proto.num_nodes, proto.coords, rng)
         if choice is None:
             choice = np.arange(proto.num_nodes, dtype=np.int32)
         out = choice_path(cfg.root, cfg.sampling_method, epoch, name)

@@ -92,23 +92,26 @@ class GraphLoader:
         order = self._epoch_order(epoch)
         if self.drop_last:
             order = order[: (len(order) // self.batch_size) * self.batch_size]
-        sizes = [
-            len(order[i : i + self.batch_size])
+        batches = [
+            order[i : i + self.batch_size]
             for i in range(0, len(order), self.batch_size)
         ]
-        window = self.batch_size * (self.prefetch + 1)
+
+        def build(idxs):
+            # whole batch per task: sample gets AND collate run inside the
+            # worker, so the consumer thread only does device_put
+            samples = [self.dataset.get(int(i), epoch) for i in idxs]
+            return collate(samples, self.capacity, self.bsr_blocks)
+
+        window = max(self.num_workers, self.prefetch + 1)
         with ThreadPoolExecutor(self.num_workers) as ex:
             futs: deque = deque()
             submitted = 0
-            for size in sizes:
-                while submitted < len(order) and len(futs) < window:
-                    futs.append(
-                        ex.submit(self.dataset.get, int(order[submitted]), epoch)
-                    )
+            for _ in range(len(batches)):
+                while submitted < len(batches) and len(futs) < window:
+                    futs.append(ex.submit(build, batches[submitted]))
                     submitted += 1
-                samples = [futs.popleft().result() for _ in range(size)]
                 # (the final batch may be smaller; jit caches one extra shape)
                 yield batch_to_cellgraph(
-                    collate(samples, self.capacity, self.bsr_blocks),
-                    sharding=self.sharding,
+                    futs.popleft().result(), sharding=self.sharding
                 )

@@ -67,6 +67,14 @@ def _load_locked():
     lib.transpose_ell.restype = i64
     lib.distance_table.argtypes = [f32p, i64, f32p]
     lib.distance_table.restype = ctypes.c_int
+    lib.bsr_block_meta.argtypes = [
+        i32p, f32p, i64, ctypes.c_int, ctypes.c_int, ctypes.c_int, i32p, f32p,
+    ]
+    lib.bsr_block_meta.restype = i64
+    lib.sample_and_sort.argtypes = [
+        f32p, i64, i64, i64, i64, ctypes.c_uint64, ctypes.c_float, i32p,
+    ]
+    lib.sample_and_sort.restype = i64
     _LIB = lib
     return _LIB
 
@@ -132,6 +140,76 @@ def transpose_ell(nbr: np.ndarray, mask: np.ndarray, width_t: int):
     if maxdeg < 0:
         raise ValueError(f"max in-degree exceeds transpose ELL width {width_t}")
     return nbr_t, mask_t, int(maxdeg)
+
+
+def sample_and_sort(
+    pos: np.ndarray,
+    num_sub: int,
+    far_num: int,
+    band: float,
+    rng: np.random.Generator,
+) -> np.ndarray:
+    """Fused fuse/farthest/random subsample + spatial band sort (GIL-free).
+    Draws the FPS start and the remainder-shuffle seed from ``rng`` so the
+    choice stays a pure function of (seed, patch, epoch)."""
+    lib = _load()
+    assert lib is not None
+    pos = np.ascontiguousarray(pos, np.float32)
+    n = pos.shape[0]
+    num_sub = min(num_sub, n)
+    out = np.zeros(num_sub, np.int32)
+    total = lib.sample_and_sort(
+        _f32p(pos), n, num_sub, min(far_num, num_sub),
+        int(rng.integers(n)) if num_sub else 0,
+        int(rng.integers(np.iinfo(np.uint64).max, dtype=np.uint64)),
+        band, _i32p(out),
+    )
+    return out[: int(total)]
+
+
+def bsr_blocks_needed(nbr: np.ndarray, mask: np.ndarray, tile: int = 128) -> int:
+    """Native twin of ops.pallas.bsr_kernel.bsr_blocks_needed."""
+    lib = _load()
+    assert lib is not None
+    n, k = nbr.shape
+    if n % tile != 0:
+        return 1 << 30  # not tileable (same sentinel as the python builder)
+    nbr = np.ascontiguousarray(nbr, np.int32)
+    mask = np.ascontiguousarray(mask, np.float32)
+    need = lib.bsr_block_meta(
+        _i32p(nbr), _f32p(mask), n, k, tile, 0,
+        ctypes.cast(0, ctypes.POINTER(ctypes.c_int32)),
+        ctypes.cast(0, ctypes.POINTER(ctypes.c_float)),
+    )
+    return max(int(need), 1)
+
+
+def bsr_block_meta(
+    nbr: np.ndarray, mask: np.ndarray, max_blocks: int, tile: int = 128
+) -> tuple[np.ndarray, np.ndarray, int]:
+    """Native twin of ops.pallas.bsr_kernel.bsr_block_meta (sorted unique
+    column tiles per row tile). Raises on overflow like the python builder."""
+    lib = _load()
+    assert lib is not None
+    n, k = nbr.shape
+    assert n % tile == 0, f"N={n} not a multiple of {tile}"
+    nbr = np.ascontiguousarray(nbr, np.int32)
+    mask = np.ascontiguousarray(mask, np.float32)
+    r = n // tile
+    cols = np.zeros((r, max_blocks), np.int32)
+    cmask = np.zeros((r, max_blocks), np.float32)
+    need = int(
+        lib.bsr_block_meta(
+            _i32p(nbr), _f32p(mask), n, k, tile, max_blocks,
+            _i32p(cols), _f32p(cmask),
+        )
+    )
+    if need > max_blocks:
+        raise ValueError(
+            f"row tile touches {need} column tiles > cap {max_blocks}; "
+            "spatially sort nodes or raise bsr max_blocks"
+        )
+    return cols, cmask, need
 
 
 def distance_table(pos: np.ndarray):

@@ -51,7 +51,9 @@ def proto_path(root: str | Path, name: str, dataset: str = "colorectal") -> Path
 def save_proto(root: str | Path, proto: PatchProto, dataset: str = "colorectal") -> Path:
     p = proto_path(root, proto.name, dataset)
     p.parent.mkdir(parents=True, exist_ok=True)
-    np.savez_compressed(
+    # uncompressed: float features barely compress but zlib decompression
+    # cost ~7 ms/patch in the hot loader path (load_proto reads both formats)
+    np.savez(
         p,
         features=proto.features.astype(np.float32),
         coords=proto.coords.astype(np.float32),

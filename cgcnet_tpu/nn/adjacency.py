@@ -18,7 +18,12 @@ from flax import struct
 
 from typing import Optional
 
-from cgcnet_tpu.ops.ell import bsr_spmm_factored, ell_gather_sum, ell_spmm_factored
+from cgcnet_tpu.ops.ell import (
+    bsr_matmul_precomp,
+    bsr_spmm_factored,
+    ell_gather_sum,
+    ell_spmm_factored,
+)
 
 
 @struct.dataclass
@@ -40,9 +45,17 @@ class EllAdjFactored:
     blk_mask: Optional[jax.Array] = None
     blk_cols_t: Optional[jax.Array] = None
     blk_mask_t: Optional[jax.Array] = None
+    # Precomputed block values of A / A^T (weights folded in): built once per
+    # step by nn.model.make_stage1_adj so every matvec is matmul-only.
+    vals: Optional[jax.Array] = None
+    vals_t: Optional[jax.Array] = None
     impl: str = struct.field(pytree_node=False, default="xla")
 
     def matvec(self, x: jax.Array) -> jax.Array:
+        if self.impl == "pallas" and self.vals is not None:
+            return bsr_matmul_precomp(
+                self.vals, self.blk_cols, self.vals_t, self.blk_cols_t, x
+            )
         if self.impl == "pallas" and self.blk_cols is not None:
             return bsr_spmm_factored(
                 self.nbr,

@@ -157,7 +157,11 @@ def diff_pool(
 
     Returns (pooled_x [B,C,F], pooled_adj [B,C,C], S [B,N,C]).
     """
-    s = jax.nn.softmax(assign_logits, axis=-1)
+    # softmax in f32 under bf16 compute (1140-wide normalization), cast back
+    # so the S^T contractions stay on the bf16 MXU path
+    s = jax.nn.softmax(assign_logits.astype(jnp.float32), axis=-1).astype(
+        assign_logits.dtype
+    )
     if mask is not None:
         s = s * mask[..., None].astype(s.dtype)
     pooled_x = jnp.einsum("bnc,bnf->bcf", s, x, preferred_element_type=x.dtype)

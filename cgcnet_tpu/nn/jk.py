@@ -112,6 +112,10 @@ class DenseJK(fnn.Module):
         hidden = c * t // 2
         alpha = TorchLSTM(hidden, bidirectional=True, name="lstm")(x)
         alpha = TorchLinear(1, name="att")(alpha)[..., 0]        # [B*N, T]
-        alpha = jax.nn.softmax(alpha, axis=-1)
+        # length-3 attention softmax in f32 under bf16 compute (cheap, and
+        # the weights gate the whole stage readout)
+        alpha = jax.nn.softmax(alpha.astype(jnp.float32), axis=-1).astype(
+            x.dtype
+        )
         out = jnp.sum(x * alpha[..., None], axis=1)              # [B*N, C]
         return out.reshape(b, n, c)

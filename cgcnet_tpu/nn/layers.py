@@ -88,9 +88,13 @@ class SAGEConv(fnn.Module):
         out = out / denom
         out = TorchLinear(self.features, use_bias=self.use_bias, name="lin")(out)
         if self.normalize:
-            # F.normalize(p=2, dim=-1, eps=1e-12): x / max(||x||, eps)
-            norm = jnp.linalg.norm(out, axis=-1, keepdims=True)
-            out = out / jnp.maximum(norm, 1e-12)
+            # F.normalize(p=2, dim=-1, eps=1e-12): x / max(||x||, eps).
+            # Sum-of-squares in f32 even under bf16 compute — bf16 norms of
+            # wide rows (F=1140 assign head) are the main bf16 accuracy leak;
+            # XLA fuses the cast so no extra HBM traffic.
+            out32 = out.astype(jnp.float32)
+            norm = jnp.linalg.norm(out32, axis=-1, keepdims=True)
+            out = (out32 / jnp.maximum(norm, 1e-12)).astype(out.dtype)
         if mask is not None:
             out = out * mask[..., None].astype(out.dtype)
         return out

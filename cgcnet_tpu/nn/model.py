@@ -37,6 +37,12 @@ def make_stage1_adj(graph: CellGraph, cfg: ModelConfig, dtype) -> EllAdj | EllAd
     scatter-add (ops.ell.ell_spmm_factored). Without them (hand-built
     graphs), the generic weighted ELL with autodiff is used. The Pallas BSR
     kernel engages per cfg.use_pallas ('auto' = TPU + metadata present).
+
+    BSR contract: the self-loop weight is folded into the precomputed block
+    values, so with norm_adj the ELL must actually carry a self slot per real
+    row (the loader's loop=True nearest-mode kNN guarantees slot 0). Under
+    the knn_scan_order compat mode a crowded row can drop its self edge —
+    use the XLA path for that parity study.
     """
     use_pallas = cfg.use_pallas
     if use_pallas == "auto":
@@ -72,6 +78,28 @@ def make_stage1_adj(graph: CellGraph, cfg: ModelConfig, dtype) -> EllAdj | EllAd
         scale = valid
         self_w = has_self * valid
         rowsum = (deg + has_self) * valid
+    vals = vals_t = None
+    if impl == "pallas":
+        # Amortized BSR: materialize A's (and A^T's) 128x128 block values
+        # ONCE — the adjacency is constant across the step's ~14 matvec
+        # directions, so every matvec becomes matmul-only
+        # (ops/pallas/bsr_kernel.bsr_build_blocks).
+        from cgcnet_tpu.ops.pallas.bsr_kernel import bsr_build_blocks
+
+        is_self = graph.nbr_mask * (graph.nbr == row)
+        is_self_t = graph.nbr_t_mask * (graph.nbr_t == row)
+        # A[i,j] = scale[i]*B_off[i,j] + self_w[i]*delta_ij as ELL weights
+        w_fwd = scale[..., None] * off + self_w[..., None] * is_self
+        # A^T[i,j] = scale[j]*B_off[j,i] + self_w[i]*delta_ij: gather the
+        # row scale of each in-neighbour
+        scale_t = jax.vmap(lambda s, i: s[i])(scale, graph.nbr_t)
+        w_bwd = scale_t * off_t + self_w[..., None] * is_self_t
+        vals = bsr_build_blocks(
+            graph.nbr, w_fwd, graph.blk_cols, graph.blk_mask, dtype
+        )
+        vals_t = bsr_build_blocks(
+            graph.nbr_t, w_bwd, graph.blk_cols_t, graph.blk_mask_t, dtype
+        )
     return EllAdjFactored(
         nbr=graph.nbr,
         off_mask=off.astype(dtype),
@@ -84,6 +112,8 @@ def make_stage1_adj(graph: CellGraph, cfg: ModelConfig, dtype) -> EllAdj | EllAd
         blk_mask=graph.blk_mask,
         blk_cols_t=graph.blk_cols_t,
         blk_mask_t=graph.blk_mask_t,
+        vals=vals,
+        vals_t=vals_t,
         impl=impl,
     )
 
@@ -185,7 +215,9 @@ class CGCNet(fnn.Module):
         outs.append(jnp.max(embed, axis=1))
 
         # ---- head ----
-        out = jnp.concatenate(outs, axis=-1)
+        # the head is [B, 60] -> tiny; run it in f32 regardless of
+        # compute_dtype (bf16 buys nothing here and costs accuracy)
+        out = jnp.concatenate(outs, axis=-1).astype(jnp.float32)
         act = activation(c.activation)
         h = out
         for i, hd in enumerate(c.pred_hidden_dims):

@@ -18,6 +18,10 @@
 #include <cstring>
 #include <vector>
 
+#if defined(__AVX2__)
+#include <immintrin.h>
+#endif
+
 extern "C" {
 
 // Radius-bounded kNN over 2-D points: for each point, up to `k` nearest
@@ -97,33 +101,206 @@ int radius_knn(const float* pos, int64_t n, float radius, int k,
 
 // Greedy max-min farthest point sampling over coordinates.
 // Matches the reference FarthestSampler semantics (common/utils.py:187-197):
-// given `start`, repeatedly take argmax (first on ties) of the running
-// min-distance. dist metric: squared euclidean (argmax identical to
-// euclidean). out: [num_samples] int32.
+// given `start`, repeatedly take argmax of the running min-distance.
+// dist metric: squared euclidean (argmax identical to euclidean).
+// out: [num_samples] int32 (original point indices).
+//
+// Implementation: exact greedy, restructured for speed — the naive loop
+// (86 ms for 11404 -> 3991 samples, VERDICT round 1) cannot feed a ~15 ms
+// train step. Points are counting-sorted into spatial grid cells; each
+// sweep updates running = min(running, d2(best, .)) with AVX-512/AVX2
+// min/max (exact ops — mul+add, no FMA) and rebuilds per-cell maxima, but
+// SKIPS any cell whose bounding box is farther from `best` than its current
+// maximum (no running value there can shrink, so the skip is lossless).
+// Ties resolve by sorted order instead of input order — greedy FPS is
+// otherwise unchanged, and the sort is deterministic.
+
+namespace {
+
+// fused min-update + max over [lo, hi): returns new max
+inline float sweep_range(const float* px, const float* py, float* running,
+                         int64_t lo, int64_t hi, float bx, float by,
+                         bool seed) {
+  float m = -1.0f;
+  int64_t j = lo;
+#if defined(__AVX512F__)
+  const __m512 vbx = _mm512_set1_ps(bx), vby = _mm512_set1_ps(by);
+  __m512 vm = _mm512_set1_ps(-1.0f);
+  for (; j + 16 <= hi; j += 16) {
+    const __m512 dx = _mm512_sub_ps(_mm512_loadu_ps(&px[j]), vbx);
+    const __m512 dy = _mm512_sub_ps(_mm512_loadu_ps(&py[j]), vby);
+    __m512 d2 = _mm512_add_ps(_mm512_mul_ps(dx, dx), _mm512_mul_ps(dy, dy));
+    if (!seed) d2 = _mm512_min_ps(_mm512_loadu_ps(&running[j]), d2);
+    _mm512_storeu_ps(&running[j], d2);
+    vm = _mm512_max_ps(vm, d2);
+  }
+  m = std::max(m, _mm512_reduce_max_ps(vm));
+#elif defined(__AVX2__)
+  const __m256 vbx = _mm256_set1_ps(bx), vby = _mm256_set1_ps(by);
+  __m256 vm = _mm256_set1_ps(-1.0f);
+  for (; j + 8 <= hi; j += 8) {
+    const __m256 dx = _mm256_sub_ps(_mm256_loadu_ps(&px[j]), vbx);
+    const __m256 dy = _mm256_sub_ps(_mm256_loadu_ps(&py[j]), vby);
+    __m256 d2 = _mm256_add_ps(_mm256_mul_ps(dx, dx), _mm256_mul_ps(dy, dy));
+    if (!seed) d2 = _mm256_min_ps(_mm256_loadu_ps(&running[j]), d2);
+    _mm256_storeu_ps(&running[j], d2);
+    vm = _mm256_max_ps(vm, d2);
+  }
+  alignas(32) float mtmp[8];
+  _mm256_store_ps(mtmp, vm);
+  for (int t = 0; t < 8; ++t) m = std::max(m, mtmp[t]);
+#endif
+  for (; j < hi; ++j) {
+    const float dx = px[j] - bx, dy = py[j] - by;
+    float d2 = dx * dx + dy * dy;
+    if (!seed) d2 = std::min(running[j], d2);
+    running[j] = d2;
+    m = std::max(m, d2);
+  }
+  return m;
+}
+
+}  // namespace
+
 int fps_coords(const float* pos, int64_t n, int64_t start, int64_t num_samples,
                int32_t* out) {
   if (n == 0 || num_samples == 0) return 0;
-  std::vector<float> running(n);
-  out[0] = (int32_t)start;
-  for (int64_t j = 0; j < n; ++j) {
-    const float dx = pos[2 * j] - pos[2 * start];
-    const float dy = pos[2 * j + 1] - pos[2 * start + 1];
-    running[j] = dx * dx + dy * dy;
+  // ---- spatial cells (~256 points each) over the data bbox ----
+  float minx = pos[0], maxx = pos[0], miny = pos[1], maxy = pos[1];
+  for (int64_t i = 1; i < n; ++i) {
+    minx = std::min(minx, pos[2 * i]);
+    maxx = std::max(maxx, pos[2 * i]);
+    miny = std::min(miny, pos[2 * i + 1]);
+    maxy = std::max(maxy, pos[2 * i + 1]);
   }
+  const float w = std::max(maxx - minx, 1e-6f), h = std::max(maxy - miny, 1e-6f);
+  const int64_t ncell_target = std::max<int64_t>(1, n / 256);
+  int64_t gx = std::max<int64_t>(
+      1, (int64_t)std::lround(std::sqrt((double)ncell_target * w / h)));
+  int64_t gy = std::max<int64_t>(1, (ncell_target + gx - 1) / gx);
+  const int64_t nc = gx * gy;
+
+  // counting sort into cells
+  std::vector<int32_t> cell_of(n);
+  std::vector<int64_t> cstart(nc + 1, 0);
+  for (int64_t i = 0; i < n; ++i) {
+    int64_t cx = (int64_t)((pos[2 * i] - minx) / w * gx);
+    int64_t cy = (int64_t)((pos[2 * i + 1] - miny) / h * gy);
+    cx = std::min(cx, gx - 1);
+    cy = std::min(cy, gy - 1);
+    cell_of[i] = (int32_t)(cx * gy + cy);
+    cstart[cell_of[i] + 1]++;
+  }
+  for (int64_t c = 0; c < nc; ++c) cstart[c + 1] += cstart[c];
+  std::vector<int32_t> perm(n);
+  std::vector<float> px(n), py(n);
+  {
+    std::vector<int64_t> cur(cstart.begin(), cstart.end() - 1);
+    for (int64_t i = 0; i < n; ++i) {
+      const int64_t p = cur[cell_of[i]]++;
+      perm[p] = (int32_t)i;
+      px[p] = pos[2 * i];
+      py[p] = pos[2 * i + 1];
+    }
+  }
+  // per-cell bounding boxes
+  std::vector<float> bminx(nc), bmaxx(nc), bminy(nc), bmaxy(nc);
+  for (int64_t c = 0; c < nc; ++c) {
+    float mnx = 3.4e38f, mxx = -3.4e38f, mny = 3.4e38f, mxy = -3.4e38f;
+    for (int64_t j = cstart[c]; j < cstart[c + 1]; ++j) {
+      mnx = std::min(mnx, px[j]);
+      mxx = std::max(mxx, px[j]);
+      mny = std::min(mny, py[j]);
+      mxy = std::max(mxy, py[j]);
+    }
+    bminx[c] = mnx; bmaxx[c] = mxx; bminy[c] = mny; bmaxy[c] = mxy;
+  }
+
+  std::vector<float> running(n), cellmax(nc, -1.0f);
+  const float sx = pos[2 * start], sy = pos[2 * start + 1];
+  out[0] = (int32_t)start;
+  for (int64_t c = 0; c < nc; ++c)
+    cellmax[c] = sweep_range(px.data(), py.data(), running.data(), cstart[c],
+                             cstart[c + 1], sx, sy, /*seed=*/true);
+
   for (int64_t s = 1; s < num_samples; ++s) {
-    int64_t best = 0;
-    float bestv = running[0];
-    for (int64_t j = 1; j < n; ++j)
-      if (running[j] > bestv) { bestv = running[j]; best = j; }
-    out[s] = (int32_t)best;
-    const float bx = pos[2 * best], by = pos[2 * best + 1];
-    for (int64_t j = 0; j < n; ++j) {
-      const float dx = pos[2 * j] - bx, dy = pos[2 * j + 1] - by;
-      const float d2 = dx * dx + dy * dy;
-      if (d2 < running[j]) running[j] = d2;
+    float bestv = cellmax[0];
+    for (int64_t c = 1; c < nc; ++c) bestv = std::max(bestv, cellmax[c]);
+    int64_t best = -1;
+    for (int64_t c = 0; c < nc && best < 0; ++c) {
+      if (cellmax[c] == bestv) {
+        for (int64_t j = cstart[c]; j < cstart[c + 1]; ++j)
+          if (running[j] == bestv) { best = j; break; }
+      }
+    }
+    out[s] = perm[best];
+    const float bx = px[best], by = py[best];
+    for (int64_t c = 0; c < nc; ++c) {
+      if (cellmax[c] < 0) continue;  // empty cell
+      // min squared distance from best to the cell bbox: if it cannot beat
+      // the cell maximum, no running value there changes — skip (lossless)
+      const float ddx =
+          bx < bminx[c] ? bminx[c] - bx : (bx > bmaxx[c] ? bx - bmaxx[c] : 0.f);
+      const float ddy =
+          by < bminy[c] ? bminy[c] - by : (by > bmaxy[c] ? by - bmaxy[c] : 0.f);
+      if (ddx * ddx + ddy * ddy >= cellmax[c]) continue;
+      cellmax[c] = sweep_range(px.data(), py.data(), running.data(),
+                               cstart[c], cstart[c + 1], bx, by, false);
     }
   }
   return 0;
+}
+
+// Fused node subsampling + spatial band sort — one GIL-free call for the
+// loader's hottest per-item path (reference fuse sampling semantics,
+// dataflow/data.py:211-219: far_num FPS picks + uniform remainder).
+//
+// far_num greedy-FPS picks from `start`; num_sub - far_num uniform picks
+// (without replacement) from the complement via a partial Fisher-Yates on a
+// splitmix64 stream seeded by `seed`; the combined index set is then sorted
+// by (floor(x / band), y) — the band-limited order the BSR kernel needs.
+// far_num = num_sub -> pure farthest sampling; far_num = 0 -> pure random.
+// out_choice: [num_sub] int32 (original indices, spatially sorted).
+// Returns the number of indices written.
+int64_t sample_and_sort(const float* pos, int64_t n, int64_t num_sub,
+                        int64_t far_num, int64_t start, uint64_t seed,
+                        float band, int32_t* out_choice) {
+  if (n == 0 || num_sub == 0) return 0;
+  num_sub = std::min(num_sub, n);
+  far_num = std::min(far_num, num_sub);
+  if (far_num > 0) fps_coords(pos, n, start, far_num, out_choice);
+  std::vector<uint8_t> sel(n, 0);
+  for (int64_t i = 0; i < far_num; ++i) sel[out_choice[i]] = 1;
+  std::vector<int32_t> rem;
+  rem.reserve(n - far_num);
+  for (int64_t j = 0; j < n; ++j)
+    if (!sel[j]) rem.push_back((int32_t)j);
+  const int64_t need =
+      std::min<int64_t>(num_sub - far_num, (int64_t)rem.size());
+  uint64_t st = seed;
+  auto next = [&st]() {
+    st += 0x9E3779B97F4A7C15ull;
+    uint64_t z = st;
+    z = (z ^ (z >> 30)) * 0xBF58476D1CE4E5B9ull;
+    z = (z ^ (z >> 27)) * 0x94D049BB133111EBull;
+    return z ^ (z >> 31);
+  };
+  for (int64_t i = 0; i < need; ++i) {
+    const int64_t j = i + (int64_t)(next() % (uint64_t)(rem.size() - i));
+    std::swap(rem[i], rem[j]);
+    out_choice[far_num + i] = rem[i];
+  }
+  const int64_t total = far_num + need;
+  // spatial band sort: primary floor(x/band), secondary y (ties stable)
+  const float b = band > 0 ? band : 1.0f;
+  std::stable_sort(out_choice, out_choice + total,
+                   [&](int32_t a, int32_t c) {
+                     const float ba = std::floor(pos[2 * a] / b);
+                     const float bc = std::floor(pos[2 * c] / b);
+                     if (ba != bc) return ba < bc;
+                     return pos[2 * a + 1] < pos[2 * c + 1];
+                   });
+  return total;
 }
 
 // FPS over a precomputed [n,n] distance table (exact reference parity for
@@ -164,6 +341,48 @@ int64_t transpose_ell(const int32_t* nbr, const float* mask, int64_t n, int k,
     }
   }
   return maxdeg;
+}
+
+// Per-row-tile nonzero block-column lists for the BSR Pallas kernel
+// (native twin of cgcnet_tpu.ops.pallas.bsr_kernel.bsr_block_meta: sorted
+// unique column tiles touched by each 128-row tile). Returns the max blocks
+// needed by any row tile; fills out_cols [R, max_blocks] int32 / out_mask
+// [R, max_blocks] float32 (caller-zeroed) only for tiles that fit —
+// if the return value exceeds max_blocks the outputs are partial and the
+// caller must fall back. Pass max_blocks=0 (null outs ok) to just measure.
+int64_t bsr_block_meta(const int32_t* nbr, const float* mask, int64_t n,
+                       int k, int tile, int max_blocks, int32_t* out_cols,
+                       float* out_mask) {
+  const int64_t r = (n + tile - 1) / tile;
+  const int64_t nct = r;  // column tiles == row tiles (square adjacency)
+  std::vector<uint8_t> seen(nct);
+  std::vector<int32_t> cols;
+  int64_t worst = 0;
+  for (int64_t ri = 0; ri < r; ++ri) {
+    std::fill(seen.begin(), seen.end(), 0);
+    cols.clear();
+    const int64_t lo = ri * tile, hi = std::min(n, lo + tile);
+    for (int64_t i = lo; i < hi; ++i) {
+      const int64_t base = i * k;
+      for (int s = 0; s < k; ++s) {
+        if (mask[base + s] <= 0) continue;
+        const int32_t c = nbr[base + s] / tile;
+        if (!seen[c]) {
+          seen[c] = 1;
+          cols.push_back(c);
+        }
+      }
+    }
+    worst = std::max<int64_t>(worst, (int64_t)cols.size());
+    if (max_blocks > 0 && (int64_t)cols.size() <= max_blocks) {
+      std::sort(cols.begin(), cols.end());
+      for (size_t s = 0; s < cols.size(); ++s) {
+        out_cols[ri * max_blocks + (int64_t)s] = cols[s];
+        out_mask[ri * max_blocks + (int64_t)s] = 1.0f;
+      }
+    }
+  }
+  return worst;
 }
 
 // Full pairwise euclidean distance table (reference euc_dist,

@@ -99,3 +99,77 @@ class TestModelBsrPath:
             ),
             g_x, g_p,
         )
+
+
+class TestAmortized:
+    """bsr_build_blocks + bsr_matmul: blocks built once, matmul-only matvecs."""
+
+    @pytest.mark.parametrize("f", [20, 96])
+    def test_build_then_matmul_matches_gather(self, rng, f):
+        b, n, k = 2, 384, 6
+        nbrs, ws, cs, ms = [], [], [], []
+        for _ in range(b):
+            nbr, mask = banded_graph(rng, n, k)
+            w = mask * rng.uniform(0.5, 1.5, mask.shape).astype(np.float32)
+            c, m, _ = bk.bsr_block_meta(nbr, mask, 5)
+            nbrs.append(nbr); ws.append(w); cs.append(c); ms.append(m)
+        nbr = jnp.asarray(np.stack(nbrs)); w = jnp.asarray(np.stack(ws))
+        cols = jnp.asarray(np.stack(cs)); cmask = jnp.asarray(np.stack(ms))
+        x = jnp.asarray(rng.normal(size=(b, n, f)).astype(np.float32))
+        vals = bk.bsr_build_blocks(nbr, w, cols, cmask)
+        assert vals.shape == (b, n // 128, 5, 128, 128)
+        out = bk.bsr_matmul(vals, cols, x)
+        ref = ell_gather_sum(nbr, w, x)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
+
+    def test_streamed_variant_matches(self, rng):
+        # force the large-F streamed path by shrinking the resident limit
+        b, n, k, f = 1, 256, 5, 64
+        nbr, mask = banded_graph(rng, n, k)
+        w = mask.copy()
+        c, m, _ = bk.bsr_block_meta(nbr, mask, 4)
+        nbr = jnp.asarray(nbr)[None]; w = jnp.asarray(w)[None]
+        cols = jnp.asarray(c)[None]; cmask = jnp.asarray(m)[None]
+        x = jnp.asarray(rng.normal(size=(b, n, f)).astype(np.float32))
+        vals = bk.bsr_build_blocks(nbr, w, cols, cmask)
+        old = bk._RESIDENT_LIMIT
+        try:
+            bk._RESIDENT_LIMIT = 0
+            out = bk.bsr_matmul(vals, cols, x)
+        finally:
+            bk._RESIDENT_LIMIT = old
+        ref = ell_gather_sum(nbr, w, x)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
+
+    def test_precomp_adjacency_in_model(self, rng):
+        """make_stage1_adj with pallas impl must carry vals and produce the
+        same matvec/quadform as the XLA factored path."""
+        import sys
+
+        sys.path.insert(0, "/root/repo")
+        from __graft_entry__ import _example_graph
+        from cgcnet_tpu.config import ModelConfig
+        from cgcnet_tpu.nn.model import make_stage1_adj
+
+        graph = _example_graph(batch=2, cap=256, kt=24, bsr_blocks=6)
+        for norm_adj in (True, False):
+            cfg_p = ModelConfig(max_num_nodes=512, norm_adj=norm_adj,
+                                use_pallas=True)
+            cfg_x = ModelConfig(max_num_nodes=512, norm_adj=norm_adj,
+                                use_pallas=False)
+            adj_p = make_stage1_adj(graph, cfg_p, jnp.float32)
+            adj_x = make_stage1_adj(graph, cfg_x, jnp.float32)
+            assert adj_p.vals is not None and adj_p.vals_t is not None
+            x = jnp.asarray(rng.normal(size=(2, 256, 12)).astype(np.float32))
+            np.testing.assert_allclose(
+                np.asarray(adj_p.matvec(x)), np.asarray(adj_x.matvec(x)),
+                atol=2e-5,
+            )
+            # backward runs the transposed blocks
+            g = jnp.asarray(rng.normal(size=(2, 256, 12)).astype(np.float32))
+            f_p = lambda v, a=adj_p: jnp.sum(a.matvec(v) * g)
+            f_x = lambda v, a=adj_x: jnp.sum(a.matvec(v) * g)
+            np.testing.assert_allclose(
+                np.asarray(jax.grad(f_p)(x)), np.asarray(jax.grad(f_x)(x)),
+                atol=2e-5,
+            )
