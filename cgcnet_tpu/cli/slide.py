@@ -117,7 +117,8 @@ def main(argv=None):
         variables = restored
         print(f"loaded {len(copied)} tensors from {args.ckpt}")
 
-    fwd = jax.jit(lambda v: mega_forward(v, mcfg, inputs, mesh, train=False))
+    fwd = jax.jit(lambda v: mega_forward(v, mcfg, inputs, mesh, train=False,
+                                     halo_overlap=cfg.mesh.halo_overlap))
     t0 = time.perf_counter()
     logits = np.asarray(jax.device_get(fwd(variables)))
     t_fwd_c = time.perf_counter() - t0

@@ -188,6 +188,10 @@ class MeshConfig:
     # capacity of the per-shard halo (boundary node) buffer, as a fraction of
     # the shard's node count; static shape for all_to_all.
     halo_capacity: float = 0.25
+    # Split stage-1 aggregation into interior (collective-independent) and
+    # boundary parts so XLA overlaps the halo all_to_all with interior
+    # compute. Pays on real ICI; neutral on a virtual CPU mesh.
+    halo_overlap: bool = True
 
 
 @dataclass

@@ -75,6 +75,9 @@ def _load_locked():
         f32p, i64, i64, i64, i64, ctypes.c_uint64, ctypes.c_float, i32p,
     ]
     lib.sample_and_sort.restype = i64
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    lib.local_entropy_u8.argtypes = [u8p, i64, i64, ctypes.c_int, f32p]
+    lib.local_entropy_u8.restype = ctypes.c_int
     _LIB = lib
     return _LIB
 
@@ -210,6 +213,20 @@ def bsr_block_meta(
             "spatially sort nodes or raise bsr max_blocks"
         )
     return cols, cmask, need
+
+
+def local_entropy_u8(gray: np.ndarray, radius: int = 3) -> np.ndarray:
+    """Sliding-histogram disk entropy (reflect border), float32 [h, w]."""
+    lib = _load()
+    assert lib is not None
+    gray = np.ascontiguousarray(gray, np.uint8)
+    h, w = gray.shape
+    out = np.zeros((h, w), np.float32)
+    lib.local_entropy_u8(
+        gray.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), h, w, radius,
+        _f32p(out),
+    )
+    return out
 
 
 def distance_table(pos: np.ndarray):

@@ -54,7 +54,8 @@ class EllAdjFactored:
     def matvec(self, x: jax.Array) -> jax.Array:
         if self.impl == "pallas" and self.vals is not None:
             return bsr_matmul_precomp(
-                self.vals, self.blk_cols, self.vals_t, self.blk_cols_t, x
+                self.vals, self.blk_cols, self.vals_t, self.blk_cols_t,
+                self.scale, self.self_w, x,
             )
         if self.impl == "pallas" and self.blk_cols is not None:
             return bsr_spmm_factored(

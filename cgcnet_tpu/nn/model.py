@@ -87,18 +87,18 @@ def make_stage1_adj(graph: CellGraph, cfg: ModelConfig, dtype) -> EllAdj | EllAd
         from cgcnet_tpu.ops.pallas.bsr_kernel import bsr_build_blocks
 
         is_self = graph.nbr_mask * (graph.nbr == row)
-        is_self_t = graph.nbr_t_mask * (graph.nbr_t == row)
         # A[i,j] = scale[i]*B_off[i,j] + self_w[i]*delta_ij as ELL weights
+        # (row scale — no gather needed)
         w_fwd = scale[..., None] * off + self_w[..., None] * is_self
-        # A^T[i,j] = scale[j]*B_off[j,i] + self_w[i]*delta_ij: gather the
-        # row scale of each in-neighbour
-        scale_t = jax.vmap(lambda s, i: s[i])(scale, graph.nbr_t)
-        w_bwd = scale_t * off_t + self_w[..., None] * is_self_t
         vals = bsr_build_blocks(
             graph.nbr, w_fwd, graph.blk_cols, graph.blk_mask, dtype
         )
+        # Backward: A^T g = B_off^T (scale*g) + self_w*g — the transpose
+        # blocks stay BINARY and scale multiplies the cotangent instead.
+        # (Folding scale into the transpose blocks would need scale at each
+        # in-neighbour: a [B,N,KT] gather that profiled at ~4 ms/step.)
         vals_t = bsr_build_blocks(
-            graph.nbr_t, w_bwd, graph.blk_cols_t, graph.blk_mask_t, dtype
+            graph.nbr_t, off_t, graph.blk_cols_t, graph.blk_mask_t, dtype
         )
     return EllAdjFactored(
         nbr=graph.nbr,

@@ -170,31 +170,44 @@ bsr_spmm_factored.defvjp(_bsr_fwd, _bsr_bwd)
 def bsr_matmul_precomp(
     vals: jax.Array,       # [B, R, M, T, T] blocks of A (weights folded in)
     blk_cols: jax.Array,   # i32[B, R, M]
-    vals_t: jax.Array,     # [B, R, MT, T, T] blocks of A^T
+    vals_t: jax.Array,     # [B, R, MT, T, T] BINARY blocks of B_off^T
     blk_cols_t: jax.Array, # i32[B, R, MT]
+    scale: jax.Array,      # f32[B, N] row scales of A
+    self_w: jax.Array,     # f32[B, N] diagonal weights of A
     x: jax.Array,
 ) -> jax.Array:
     """A @ x with A's block values precomputed ONCE per step
     (ops.pallas.bsr_kernel.bsr_build_blocks) — the adjacency is constant
     across all 6 convolutions + quadform of a stage-1 forward and their
-    backward calls, so both directions are pure MXU matmuls here.
-    dL/dx = A^T g runs the same kernel over the transposed blocks."""
+    backward calls, so both directions are pure MXU matmuls.
+
+    Forward blocks fold A completely (row scale + self weight): no epilogue.
+    Backward uses A^T g = B_off^T (scale*g) + self_w*g over BINARY transpose
+    blocks — folding scale into the transpose would need a per-in-edge
+    gather of row scales (profiled at ~4 ms/step on TPU)."""
     from cgcnet_tpu.ops.pallas.bsr_kernel import bsr_matmul
 
     return bsr_matmul(vals, blk_cols, x)
 
 
-def _bsr_pre_fwd(vals, blk_cols, vals_t, blk_cols_t, x):
-    out = bsr_matmul_precomp(vals, blk_cols, vals_t, blk_cols_t, x)
-    return out, (vals, blk_cols, vals_t, blk_cols_t)
+def _bsr_pre_fwd(vals, blk_cols, vals_t, blk_cols_t, scale, self_w, x):
+    out = bsr_matmul_precomp(
+        vals, blk_cols, vals_t, blk_cols_t, scale, self_w, x
+    )
+    return out, (vals, blk_cols, vals_t, blk_cols_t, scale, self_w)
 
 
 def _bsr_pre_bwd(res, g):
     from cgcnet_tpu.ops.pallas.bsr_kernel import bsr_matmul
 
-    vals, blk_cols, vals_t, blk_cols_t = res
-    dx = bsr_matmul(vals_t, blk_cols_t, g)
-    z = jax.tree.map(jnp.zeros_like, (vals, blk_cols, vals_t, blk_cols_t))
+    vals, blk_cols, vals_t, blk_cols_t, scale, self_w = res
+    sg = scale[..., None].astype(g.dtype) * g
+    dx = bsr_matmul(vals_t, blk_cols_t, sg) + self_w[..., None].astype(
+        g.dtype
+    ) * g
+    z = jax.tree.map(
+        jnp.zeros_like, (vals, blk_cols, vals_t, blk_cols_t, scale, self_w)
+    )
     return (*z, dx)
 
 
@@ -235,7 +248,11 @@ def renorm_dense(adj: jax.Array, p: float, mask: jax.Array | None = None) -> jax
     diagonal to p, then (optionally) zero masked rows.
     """
     n = adj.shape[-1]
-    eye = jnp.eye(n, dtype=bool)
+    # iota compare instead of a materialized [n, n] eye constant (the eye
+    # showed up as pred[1140,1140] copies in the TPU step profile)
+    eye = jax.lax.broadcasted_iota(
+        jnp.int32, (n, n), 0
+    ) == jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
     adj = jnp.where(eye[None], 0.0, adj)
     new_adj = adj / (jnp.sum(adj, axis=-1, keepdims=True) + EPS) * (1.0 - p)
     new_adj = jnp.where(eye[None], p, new_adj)

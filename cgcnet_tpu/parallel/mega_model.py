@@ -91,19 +91,33 @@ def _act(name):
 
 
 def _bn(p, stats, h, valid, axis, train: bool):
-    """BatchNorm over all real nodes of the global graph (psum stats)."""
+    """BatchNorm over all real nodes of the global graph (psum stats).
+
+    Returns (out, upd): in train mode ``upd`` carries the torch-momentum-0.1
+    running-stat update (biased batch mean, unbiased variance) so the slide
+    training path tracks running statistics like TorchBatchNorm does."""
+    upd = None
     if train:
         m = valid[:, None]
         cnt = jax.lax.psum(jnp.sum(m), axis)
         mean = jax.lax.psum(jnp.sum(h * m, 0), axis) / cnt
         var = jax.lax.psum(jnp.sum((h - mean) ** 2 * m, 0), axis) / cnt
+        unbiased = var * cnt / jnp.maximum(cnt - 1.0, 1.0)
+        old_mean = stats["mean"] if stats else jnp.zeros_like(mean)
+        old_var = stats["var"] if stats else jnp.ones_like(var)
+        upd = {
+            "mean": 0.9 * old_mean + 0.1 * mean,
+            "var": 0.9 * old_var + 0.1 * unbiased,
+        }
     else:
         mean, var = stats["mean"], stats["var"]
-    return (h - mean) * jax.lax.rsqrt(var + 1e-5) * p["scale"] + p["bias"]
+    out = (h - mean) * jax.lax.rsqrt(var + 1e-5) * p["scale"] + p["bias"]
+    return out, upd
 
 
 def _stage1_block(
-    params, stats, name, x, agg, valid, cfg: ModelConfig, axis, train, lin: bool
+    params, stats, name, x, agg, valid, cfg: ModelConfig, axis, train,
+    lin: bool, stats_out: dict | None = None,
 ):
     """GNN block over sharded nodes; ``agg`` maps h -> A @ h."""
     p, s = params[name], (stats or {}).get(name, {})
@@ -125,7 +139,11 @@ def _stage1_block(
         out = out * valid[:, None]
         out = act(out)
         if cfg.bn:
-            out = _bn(p[f"bn{i}"], s.get(f"bn{i}"), out, valid, axis, train)
+            out, upd = _bn(
+                p[f"bn{i}"], s.get(f"bn{i}"), out, valid, axis, train
+            )
+            if upd is not None and stats_out is not None:
+                stats_out.setdefault(name, {})[f"bn{i}"] = upd
         h = out
         outs.append(out)
     cat = jnp.concatenate(outs, -1) * valid[:, None]
@@ -165,11 +183,24 @@ def _jk(p, h, channels: int, layers: int = 3):
 
 
 class _ShardedAdj:
-    """A = diag(scale) * B_off + self_w * I over the sharded node space."""
+    """A = diag(scale) * B_off + self_w * I over the sharded node space.
 
-    def __init__(self, inputs: MegaInputs, cfg: ModelConfig, axis: str):
+    With ``overlap`` the aggregation is split into an interior part (rows
+    whose neighbours are all shard-local) with no data dependency on the
+    halo all_to_all, so XLA can overlap the collective with the interior
+    gather (same structure as mega_graph.sharded_gather_sum_overlap; pays
+    on real ICI, neutral on a virtual CPU mesh)."""
+
+    def __init__(
+        self,
+        inputs: MegaInputs,
+        cfg: ModelConfig,
+        axis: str,
+        overlap: bool = False,
+    ):
         self.axis = axis
         self.inp = inputs
+        self.overlap = overlap
         row = jnp.arange(inputs.nbr_remap.shape[0])
         self.off_mask = inputs.nbr_mask * (
             inputs.nbr_remap != row[:, None]
@@ -189,11 +220,30 @@ class _ShardedAdj:
             self._rowsum = (deg + 1.0) * inputs.valid
 
     def __call__(self, h):
-        halo = _halo_exchange(h, self.inp.req_idx, self.inp.req_mask, self.axis)
-        hh = jnp.concatenate([h, halo], 0)
-        agg = ell_gather_sum(
-            self.inp.nbr_remap[None], self.off_mask[None], hh[None]
-        )[0]
+        nbr, w = self.inp.nbr_remap, self.off_mask
+        if self.overlap:
+            ns = h.shape[0]
+            slot_local = jnp.where(self.inp.nbr_mask > 0, nbr, 0) < ns
+            interior = jnp.all(slot_local, axis=-1)
+            halo = _halo_exchange(
+                h, self.inp.req_idx, self.inp.req_mask, self.axis
+            )
+            out_int = ell_gather_sum(
+                jnp.minimum(nbr, ns - 1)[None],
+                (w * interior[:, None])[None],
+                h[None],
+            )[0]
+            hh = jnp.concatenate([h, halo], 0)
+            out_bnd = ell_gather_sum(
+                nbr[None], (w * (~interior)[:, None])[None], hh[None]
+            )[0]
+            agg = out_int + out_bnd
+        else:
+            halo = _halo_exchange(
+                h, self.inp.req_idx, self.inp.req_mask, self.axis
+            )
+            hh = jnp.concatenate([h, halo], 0)
+            agg = ell_gather_sum(nbr[None], w[None], hh[None])[0]
         return self.scale[:, None] * agg + self.self_w * h
 
     def rowsum(self):
@@ -208,21 +258,30 @@ def mega_forward(
     *,
     train: bool = False,
     axis: str = "graph",
+    halo_overlap: bool = False,
+    return_stats: bool = False,
 ) -> jax.Array:
     """Logits [3] for one whole-slide graph. Parameters replicated; graph
-    sharded over ``axis``."""
+    sharded over ``axis``. ``halo_overlap`` structures stage-1 aggregation
+    for collective/compute overlap (MeshConfig.halo_overlap).
+
+    ``return_stats`` (train only): also return the updated batch_stats tree
+    (cross-shard psum statistics blended with torch momentum 0.1) so slide
+    training tracks running BN stats — reference SyncBatchNorm analog."""
     params = variables["params"]
     stats = variables.get("batch_stats", {})
     d1, d2 = cfg.assign_dims
 
     def fn(params, stats, x, nbr_remap, nbr_mask, req_idx, req_mask, valid):
         inp = MegaInputs(x, nbr_remap, nbr_mask, req_idx, req_mask, valid)
-        adj = _ShardedAdj(inp, cfg, axis)
+        adj = _ShardedAdj(inp, cfg, axis, overlap=halo_overlap)
         neg = jnp.finfo(x.dtype).min
+        stats_out: dict = {}
 
         # ---- stage 1 (sharded) ----
         embed = _stage1_block(
-            params, stats, "embed1", x, adj, valid, cfg, axis, train, lin=False
+            params, stats, "embed1", x, adj, valid, cfg, axis, train,
+            lin=False, stats_out=stats_out,
         )
         if cfg.jk:
             embed = _jk(params["jk1"], embed, cfg.hidden_dim) * valid[:, None]
@@ -231,7 +290,8 @@ def mega_forward(
         local_max = jnp.max(jnp.where(valid[:, None] > 0, embed, neg), 0)
         read1 = jnp.max(jax.lax.all_gather(local_max, axis), 0)
         assign = _stage1_block(
-            params, stats, "pool1", x, adj, valid, cfg, axis, train, lin=True
+            params, stats, "pool1", x, adj, valid, cfg, axis, train,
+            lin=True, stats_out=stats_out,
         )
         s = jax.nn.softmax(assign, -1) * valid[:, None]
         x_pool = jax.lax.psum(s.T @ embed, axis)                 # [d1, F]
@@ -252,7 +312,7 @@ def mega_forward(
             ones = jnp.ones(xx.shape[0], xx.dtype)
             emb = _stage1_block(
                 params, stats, name, xx, DenseAgg(), ones, cfg, axis, train,
-                lin=False,
+                lin=False, stats_out=stats_out,
             )
             if cfg.jk:
                 emb = _jk(params[jk_name], emb, cfg.hidden_dim)
@@ -273,7 +333,7 @@ def mega_forward(
 
         assign2 = _stage1_block(
             params, stats, "pool2", x_pool, DenseAgg2(), ones, cfg, axis,
-            train, lin=True,
+            train, lin=True, stats_out=stats_out,
         )
         s2 = jax.nn.softmax(assign2, -1)
         x3 = s2.T @ embed2
@@ -288,13 +348,17 @@ def mega_forward(
         act = _act(cfg.activation)
         for i, _ in enumerate(cfg.pred_hidden_dims):
             h = act(_linear(params[f"pred_{i}"], h))
-        return _linear(params["pred_out"], h)
+        logits = _linear(params["pred_out"], h)
+        if return_stats:
+            return logits, stats_out
+        return logits
 
+    out_specs = (P(), P()) if return_stats else P()
     shard_fn = jax.shard_map(
         fn,
         mesh=mesh,
         in_specs=(P(), P(), P(axis), P(axis), P(axis), P(axis), P(axis), P(axis)),
-        out_specs=P(),
+        out_specs=out_specs,
         check_vma=False,
     )
     return shard_fn(

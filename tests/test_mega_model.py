@@ -127,3 +127,67 @@ def test_gradients_flow_sharded(rng):
     leaves = jax.tree.leaves(jax.device_get(grads))
     assert all(np.isfinite(l).all() for l in leaves)
     assert sum(float(np.abs(l).sum()) for l in leaves) > 0
+
+
+def test_halo_overlap_matches_plain(rng):
+    """halo_overlap=True restructures the aggregation but must be
+    numerically identical to the plain exchange."""
+    n_real, cap, d = 120, 128, 4
+    x, nbr, mask = build(rng, n_real, cap)
+    cfg = ModelConfig(
+        input_dim=18, max_num_nodes=160, assign_ratio=0.2,
+        hidden_dim=8, embedding_dim=8, assign_hidden_dim=8,
+        drop_out=0.0, use_pallas=False,
+    )
+    g = CellGraph(
+        x=jnp.asarray(x)[None], nbr=jnp.asarray(nbr)[None],
+        nbr_mask=jnp.asarray(mask)[None],
+        n_nodes=jnp.asarray([n_real], jnp.int32),
+    )
+    variables = CGCNet(cfg).init({"params": jax.random.key(3)}, g, train=False)
+    mesh = make_mesh(1, d, devices=jax.devices()[:d])
+    part = partition_graph(nbr, mask, d)
+    inputs = prepare_mega_inputs(x, part, mesh, n_real=n_real)
+    outs = [
+        np.asarray(
+            jax.jit(
+                lambda v, ov=ov: mega_forward(
+                    v, cfg, inputs, mesh, train=False, halo_overlap=ov
+                )
+            )(variables)
+        )
+        for ov in (False, True)
+    ]
+    np.testing.assert_allclose(outs[0], outs[1], atol=2e-5)
+
+
+def test_slide_training_tracks_bn_stats(rng):
+    from cgcnet_tpu.parallel.mega_train import train_slides
+
+    n_real, cap, d = 96, 128, 2
+    x, nbr, mask = build(rng, n_real, cap)
+    cfg = ModelConfig(
+        input_dim=18, max_num_nodes=160, assign_ratio=0.2,
+        hidden_dim=8, embedding_dim=8, assign_hidden_dim=8,
+        drop_out=0.0, use_pallas=False,
+    )
+    g = CellGraph(
+        x=jnp.asarray(x)[None], nbr=jnp.asarray(nbr)[None],
+        nbr_mask=jnp.asarray(mask)[None],
+        n_nodes=jnp.asarray([n_real], jnp.int32),
+    )
+    variables = CGCNet(cfg).init({"params": jax.random.key(4)}, g, train=False)
+    mesh = make_mesh(1, d, devices=jax.devices()[:d])
+    part = partition_graph(nbr, mask, d)
+    inputs = prepare_mega_inputs(x, part, mesh, n_real=n_real)
+    new_vars, losses = train_slides(
+        cfg, variables, [(inputs, 1)], mesh, lr=1e-3, epochs=2
+    )
+    assert len(losses) == 2 and all(np.isfinite(losses))
+    old = variables["batch_stats"]["embed1"]["bn1"]["mean"]
+    new = new_vars["batch_stats"]["embed1"]["bn1"]["mean"]
+    # running stats moved toward the observed batch statistics
+    assert not np.allclose(np.asarray(old), np.asarray(new))
+    # every BN'd block got an update
+    for blk in ("embed1", "embed2", "embed3", "pool1", "pool2"):
+        assert "bn1" in new_vars["batch_stats"][blk]

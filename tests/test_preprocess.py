@@ -164,3 +164,25 @@ class TestNative:
         a = native.fps_table(d, 50, np.random.default_rng(5))
         b = farthest_point_sample_np(d, 50, np.random.default_rng(5))
         np.testing.assert_array_equal(a, b)
+
+
+class TestNativeEntropy:
+    def test_matches_numpy_convolution(self, rng):
+        from cgcnet_tpu.dataflow import native
+        from cgcnet_tpu.preprocess.features import disk_footprint
+
+        if not native.available():
+            pytest.skip("native lib not built")
+        import cv2
+
+        gray = rng.normal(120, 50, (80, 80)).clip(0, 255).astype(np.uint8)
+        fast = native.local_entropy_u8(gray, 3)
+        fp = disk_footprint(3)
+        area = fp.sum()
+        ent = np.zeros(gray.shape, np.float64)
+        for lv in np.unique(gray):
+            plane = (gray == lv).astype(np.float32)
+            cnt = cv2.filter2D(plane, -1, fp, borderType=cv2.BORDER_REFLECT)
+            p = np.clip(cnt / area, 1e-12, 1.0)
+            ent -= np.where(cnt > 0, p * np.log2(p), 0.0)
+        np.testing.assert_allclose(fast, ent, atol=1e-4)
