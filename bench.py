@@ -82,18 +82,24 @@ def main() -> None:
     from cgcnet_tpu.config import ModelConfig
     from cgcnet_tpu.nn.model import make_stage1_adj
 
+    # measured at the shipping training precision (bf16 storage, f32 MXU
+    # accumulation) — the dense baseline below runs the same precision
     mcfg = ModelConfig(max_num_nodes=2 * N, use_pallas="auto")
-    adj = make_stage1_adj(graph, mcfg, jnp.float32)
+    adj = make_stage1_adj(graph, mcfg, jnp.bfloat16)
     nbr, w = graph.nbr, graph.weights()
-    x = jnp.asarray(rng.normal(size=(B, N, F)).astype(np.float32))
-    g = jnp.asarray(rng.normal(size=(B, N, F)).astype(np.float32))
+    x = jnp.asarray(rng.normal(size=(B, N, F)).astype(np.float32)).astype(
+        jnp.bfloat16
+    )
     edges = int(np.asarray(graph.nbr_mask).sum())
 
     # --- ours: sparse aggregation fwd+bwd (factored adjacency; Pallas BSR
     # kernel on TPU, XLA gather elsewhere), device-looped ---
+    # loss = ||A v||^2 so grad = 2 A^T (A v): BOTH directions depend on the
+    # loop carry — nothing is loop-invariant-hoistable or dead-code-removable
     def sparse_step(xx):
         def loss(v):
-            return jnp.sum(adj.matvec(v) * g)
+            out = adj.matvec(v)
+            return jnp.sum(out * out)
 
         val, grad = jax.value_and_grad(loss)(xx)
         return xx + 1e-12 * grad  # data dependency across iterations
@@ -101,11 +107,12 @@ def main() -> None:
     t_sparse = bench_device_loop(sparse_step, x, iters=100)
 
     # --- baseline: dense [B,N,N] adjacency matmul fwd+bwd (reference style) ---
-    adj = jnp.zeros((B, N, N), jnp.float32)
+    adj = jnp.zeros((B, N, N), jnp.bfloat16)
 
     def dense_step(xx):
         def loss(v):
-            return jnp.sum(jnp.einsum("bij,bjf->bif", adj, v) * g)
+            out = jnp.einsum("bij,bjf->bif", adj, v)
+            return jnp.sum(out * out)
 
         val, grad = jax.value_and_grad(loss)(xx)
         return xx + 1e-12 * grad
@@ -115,35 +122,39 @@ def main() -> None:
     edges_per_s = edges / t_sparse
     vs_baseline = t_dense / t_sparse
 
-    # --- context: full model train step ---
+    # --- context: full model train step (f32 and bf16 compute) ---
     try:
         from cgcnet_tpu.config import Config
         from cgcnet_tpu.train.loop import make_train_step
         from cgcnet_tpu.train.optim import make_optimizer
         from cgcnet_tpu.train.state import create_train_state
 
-        cfg = Config().apply_overrides(["model.max_num_nodes=11404"])
         graph = ge._example_graph(batch=4, cap=N, kt=16)
-        tx = make_optimizer(cfg.train, steps_per_epoch=100)
-        model, state = create_train_state(cfg, tx, graph)
-        step_fn = make_train_step(model)
-        iters = 20
-
-        @jax.jit
-        def many_steps(s):
-            return jax.lax.fori_loop(
-                0, iters, lambda i, ss: step_fn(ss, graph, tx)[0], s
+        for dtype in ("float32", "bfloat16"):
+            cfg = Config().apply_overrides(
+                ["model.max_num_nodes=11404",
+                 f"model.compute_dtype={dtype}"]
             )
+            tx = make_optimizer(cfg.train, steps_per_epoch=100)
+            model, state = create_train_state(cfg, tx, graph)
+            step_fn = make_train_step(model)
+            iters = 20
 
-        jax.block_until_ready(many_steps(state))
-        t0 = time.perf_counter()
-        jax.block_until_ready(many_steps(state))
-        t_step = (time.perf_counter() - t0) / iters
-        print(
-            f"train_step: {t_step*1e3:.1f} ms/step  "
-            f"({4/t_step:.1f} patches/s, B=4 N={N})",
-            file=sys.stderr,
-        )
+            @jax.jit
+            def many_steps(s):
+                return jax.lax.fori_loop(
+                    0, iters, lambda i, ss: step_fn(ss, graph, tx)[0], s
+                )
+
+            jax.block_until_ready(many_steps(state))
+            t0 = time.perf_counter()
+            jax.block_until_ready(many_steps(state))
+            t_step = (time.perf_counter() - t0) / iters
+            print(
+                f"train_step[{dtype}]: {t_step*1e3:.1f} ms/step  "
+                f"({4/t_step:.1f} patches/s, B=4 N={N})",
+                file=sys.stderr,
+            )
     except Exception as e:  # pragma: no cover - context only
         print(f"train-step bench skipped: {e}", file=sys.stderr)
 

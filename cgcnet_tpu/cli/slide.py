@@ -95,8 +95,15 @@ def main(argv=None):
     # ---- partition + forward ----
     t0 = time.perf_counter()
     part = partition_graph(nbrp, maskp, shards)
+    # BSR tables: gather-free Pallas aggregation on TPU backends (halo
+    # columns as extra tiles); XLA gathers elsewhere
+    tables = None
+    if jax.default_backend() == "tpu":
+        from cgcnet_tpu.parallel.mega_graph import build_bsr_tables
+
+        tables = build_bsr_tables(part)
     t_part = time.perf_counter() - t0
-    inputs = prepare_mega_inputs(xp, part, mesh, n_real=n)
+    inputs = prepare_mega_inputs(xp, part, mesh, n_real=n, bsr=tables)
 
     mcfg = cfg.model
     mcfg = mcfg.__class__(**{**mcfg.__dict__, "input_dim": x.shape[1],

@@ -332,29 +332,33 @@ def collate(
                 bsr_blocks_needed,
             )
 
-        # quantized per-batch block capacity: tight metadata (BSR kernel cost
-        # scales with the cap) with a bounded set of compiled shapes;
-        # ``bsr_blocks`` is the ceiling — beyond it, fall back to XLA gathers
-        need = max(
-            bsr_blocks_needed(batch[src][bi], batch[msk][bi])
-            for src, msk in (("nbr", "nbr_mask"), ("nbr_t", "nbr_t_mask"))
-            for bi in range(len(samples))
-        )
-        cap = next((c for c in (4, 6, 8, 12, 16) if c >= need), None)
-        if cap is None or cap > max(bsr_blocks, 4):
-            import warnings
-
-            warnings.warn(
-                f"graph needs {need} BSR blocks/row-tile > cap {bsr_blocks}; "
-                "batch falls back to XLA gather aggregation "
-                "(raise data.bsr_blocks or enable data.spatial_sort)",
-                stacklevel=2,
-            )
-            return batch
+        # quantized per-batch block capacity — PER DIRECTION: the transpose
+        # (in-edge) lists typically touch more column tiles than the forward
+        # lists, and kernel DMA cost scales with the cap. Tight metadata with
+        # a bounded set of compiled shapes; ``bsr_blocks`` is the ceiling —
+        # beyond it, fall back to XLA gathers.
         for src, msk, cname, mname in (
             ("nbr", "nbr_mask", "blk_cols", "blk_mask"),
             ("nbr_t", "nbr_t_mask", "blk_cols_t", "blk_mask_t"),
         ):
+            need = max(
+                bsr_blocks_needed(batch[src][bi], batch[msk][bi])
+                for bi in range(len(samples))
+            )
+            cap = next((c for c in (4, 6, 8, 12, 16) if c >= need), None)
+            if cap is None or cap > max(bsr_blocks, 4):
+                import warnings
+
+                warnings.warn(
+                    f"graph needs {need} BSR blocks/row-tile > cap "
+                    f"{bsr_blocks}; batch falls back to XLA gather "
+                    "aggregation (raise data.bsr_blocks or enable "
+                    "data.spatial_sort)",
+                    stacklevel=2,
+                )
+                for k in ("blk_cols", "blk_mask", "blk_cols_t", "blk_mask_t"):
+                    batch.pop(k, None)
+                return batch
             cols, masks = [], []
             for bi in range(len(samples)):
                 c, m, _ = bsr_block_meta(batch[src][bi], batch[msk][bi], cap)

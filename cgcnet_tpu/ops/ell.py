@@ -214,6 +214,41 @@ def _bsr_pre_bwd(res, g):
 bsr_matmul_precomp.defvjp(_bsr_pre_fwd, _bsr_pre_bwd)
 
 
+@jax.custom_vjp
+def bsr_local_matmul(
+    vals: jax.Array,       # [1, R, M, T, T] blocks of the local operator
+    blk_cols: jax.Array,   # i32[1, R, M]
+    vals_t: jax.Array,     # [1, RC, MT, T, T] blocks of its transpose
+    blk_cols_t: jax.Array, # i32[1, RC, MT]
+    xx: jax.Array,         # [NC, F]  (local ++ halo, padded)
+) -> jax.Array:
+    """Rectangular per-shard matmul for the mega path: out[Ns, F] =
+    A_loc @ xx where A_loc is [Ns x NC] (halo columns are extra tiles).
+    The VJP runs the transposed blocks (d_xx [NC, F]); the surrounding
+    halo-exchange autodiff then routes halo cotangents back to their owner
+    shards. Runs inside shard_map — per shard, batch dim 1."""
+    from cgcnet_tpu.ops.pallas.bsr_kernel import bsr_matmul
+
+    return bsr_matmul(vals, blk_cols, xx[None])[0]
+
+
+def _bsr_local_fwd(vals, blk_cols, vals_t, blk_cols_t, xx):
+    out = bsr_local_matmul(vals, blk_cols, vals_t, blk_cols_t, xx)
+    return out, (vals, blk_cols, vals_t, blk_cols_t)
+
+
+def _bsr_local_bwd(res, g):
+    from cgcnet_tpu.ops.pallas.bsr_kernel import bsr_matmul
+
+    vals, blk_cols, vals_t, blk_cols_t = res
+    d_xx = bsr_matmul(vals_t, blk_cols_t, g[None])[0]
+    z = jax.tree.map(jnp.zeros_like, (vals, blk_cols, vals_t, blk_cols_t))
+    return (*z, d_xx)
+
+
+bsr_local_matmul.defvjp(_bsr_local_fwd, _bsr_local_bwd)
+
+
 def renorm_ell(
     nbr: jax.Array,
     nbr_mask: jax.Array,

@@ -287,45 +287,56 @@ def bsr_build_blocks(
 def _bsr_mm_resident_kernel(
     blk_cols_ref,   # scalar prefetch: i32[B, R, M]
     vals_ref,       # ANY/HBM: [B, R, M, T, T]
-    x_ref,          # VMEM: [1, N, F] (whole table resident)
-    out_ref,        # VMEM: [1, N, F]
+    x_ref,          # VMEM: [1, NC, F] (whole table resident)
+    out_ref,        # VMEM: [1, R*T, F] (rows may differ from NC — the
+                    #   operator can be rectangular, e.g. transposed
+                    #   local+halo blocks on the mega path)
     scratch,        # VMEM: [2, M, T, T]
     sems,           # DMA semaphores (2,)
 ):
     b = pl.program_id(0)
-    n, f = x_ref.shape[1], x_ref.shape[2]
+    f = x_ref.shape[2]
     t = TILE
-    r = n // t
-    m_cap = scratch.shape[1]
+    r = out_ref.shape[1] // t
+    g_sz, m_cap = scratch.shape[1], scratch.shape[2]
+    chunks = r // g_sz
 
-    def vals_dma(slot, ri):
+    # G row tiles of block values per DMA (they are contiguous in HBM):
+    # fewer, larger transfers — per-DMA latency dominated the per-row-tile
+    # version at small F
+    def vals_dma(slot, ci):
         return pltpu.make_async_copy(
-            vals_ref.at[b, ri], scratch.at[slot], sems.at[slot]
+            vals_ref.at[b, pl.ds(ci * g_sz, g_sz)],
+            scratch.at[slot],
+            sems.at[slot],
         )
 
     vals_dma(0, 0).start()
 
-    def row_tile(ri, _):
-        slot = jax.lax.rem(ri, 2)
+    def chunk(ci, _):
+        slot = jax.lax.rem(ci, 2)
 
-        @pl.when(ri + 1 < r)
+        @pl.when(ci + 1 < chunks)
         def _():
-            vals_dma(jax.lax.rem(ri + 1, 2), ri + 1).start()
+            vals_dma(jax.lax.rem(ci + 1, 2), ci + 1).start()
 
-        vals_dma(slot, ri).wait()
-        acc = jnp.zeros((t, f), jnp.float32)
-        for mi in range(m_cap):
-            col_base = pl.multiple_of(blk_cols_ref[b, ri, mi] * t, t)
-            xt = x_ref[0, pl.ds(col_base, t), :]
-            acc = acc + jnp.dot(
-                scratch[slot, mi], xt, preferred_element_type=jnp.float32
+        vals_dma(slot, ci).wait()
+        for gi in range(g_sz):
+            ri = ci * g_sz + gi
+            acc = jnp.zeros((t, f), jnp.float32)
+            for mi in range(m_cap):
+                col_base = pl.multiple_of(blk_cols_ref[b, ri, mi] * t, t)
+                xt = x_ref[0, pl.ds(col_base, t), :]
+                acc = acc + jnp.dot(
+                    scratch[slot, gi, mi], xt,
+                    preferred_element_type=jnp.float32,
+                )
+            out_ref[0, pl.ds(pl.multiple_of(ri * t, t), t), :] = acc.astype(
+                out_ref.dtype
             )
-        out_ref[0, pl.ds(pl.multiple_of(ri * t, t), t), :] = acc.astype(
-            out_ref.dtype
-        )
         return 0
 
-    jax.lax.fori_loop(0, r, row_tile, 0)
+    jax.lax.fori_loop(0, chunks, chunk, 0)
 
 
 def _make_streamed_kernel(m_cap: int):
@@ -353,17 +364,27 @@ def _make_streamed_kernel(m_cap: int):
 def bsr_matmul(
     vals: jax.Array,       # [B, R, M, T, T] from bsr_build_blocks
     blk_cols: jax.Array,   # i32[B, R, M]
-    x: jax.Array,          # [B, N, F]
+    x: jax.Array,          # [B, NC, F]
 ) -> jax.Array:
-    """out = A @ x with A given as precomputed block-sparse values. Pure
-    MXU + DMA — no per-matvec block construction."""
+    """out[B, R*T, F] = A @ x with A given as precomputed block-sparse
+    values. Pure MXU + DMA — no per-matvec block construction. A may be
+    rectangular: output rows come from the block metadata (R*T), columns
+    from x."""
     b, r, m = blk_cols.shape
     n, f = x.shape[1], x.shape[2]
+    nr = r * TILE
     itemsize = jnp.dtype(x.dtype).itemsize
     flops = 2 * b * r * m * TILE * TILE * f
     vals_bytes = b * r * m * TILE * TILE * jnp.dtype(vals.dtype).itemsize
-    if n * f * itemsize <= _RESIDENT_LIMIT:
-        # x (and out) stay VMEM-resident; vals double-buffered from HBM
+    if (n + nr) * f * itemsize <= 2 * _RESIDENT_LIMIT:
+        # x (and out) stay VMEM-resident; vals double-buffered from HBM in
+        # chunks of G row tiles (largest divisor of R within ~2 MB)
+        vsz = jnp.dtype(vals.dtype).itemsize
+        g_sz = 1
+        for cand in range(min(r, 16), 0, -1):
+            if r % cand == 0 and cand * m * TILE * TILE * vsz <= 2 << 20:
+                g_sz = cand
+                break
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(b,),
@@ -371,20 +392,20 @@ def bsr_matmul(
                 pl.BlockSpec(memory_space=pltpu.ANY),
                 pl.BlockSpec((1, n, f), lambda bi, bc: (bi, 0, 0)),
             ],
-            out_specs=pl.BlockSpec((1, n, f), lambda bi, bc: (bi, 0, 0)),
+            out_specs=pl.BlockSpec((1, nr, f), lambda bi, bc: (bi, 0, 0)),
             scratch_shapes=[
-                pltpu.VMEM((2, m, TILE, TILE), vals.dtype),
+                pltpu.VMEM((2, g_sz, m, TILE, TILE), vals.dtype),
                 pltpu.SemaphoreType.DMA((2,)),
             ],
         )
         return pl.pallas_call(
             _bsr_mm_resident_kernel,
-            out_shape=jax.ShapeDtypeStruct((b, n, f), x.dtype),
+            out_shape=jax.ShapeDtypeStruct((b, nr, f), x.dtype),
             grid_spec=grid_spec,
             interpret=_INTERPRET,
             cost_estimate=pl.CostEstimate(
                 flops=flops,
-                bytes_accessed=vals_bytes + 2 * b * n * f * itemsize,
+                bytes_accessed=vals_bytes + b * (n + nr) * f * itemsize,
                 transcendentals=0,
             ),
         )(blk_cols, vals, x)
@@ -408,7 +429,7 @@ def bsr_matmul(
     )
     return pl.pallas_call(
         _make_streamed_kernel(m),
-        out_shape=jax.ShapeDtypeStruct((b, n, f), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((b, nr, f), x.dtype),
         grid_spec=grid_spec,
         interpret=_INTERPRET,
         cost_estimate=pl.CostEstimate(

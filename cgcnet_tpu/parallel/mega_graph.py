@@ -135,6 +135,91 @@ def partition_graph(
     )
 
 
+@dataclasses.dataclass
+class ShardedBsrTables:
+    """Per-shard BSR metadata for the local [Ns x NC] aggregation operator
+    (NC = Ns + halo slots, padded to a 128 multiple) and its transpose —
+    lets the mega path run the gather-free Pallas MXU kernel instead of XLA
+    row-gathers (round-1 weakness: the mega path paid per-row gather
+    latency). Halo columns are ordinary extra column tiles."""
+
+    blk_cols: np.ndarray    # i32[D, R, M]       forward operator
+    blk_mask: np.ndarray    # f32[D, R, M]
+    nbr_t: np.ndarray       # i32[D, NC, KT]     transpose (in-edge lists)
+    mask_t: np.ndarray      # f32[D, NC, KT]
+    blk_cols_t: np.ndarray  # i32[D, RC, MT]
+    blk_mask_t: np.ndarray  # f32[D, RC, MT]
+    nc: int                 # padded column-space size
+
+
+def build_bsr_tables(
+    part: ShardedGraphPartition,
+    max_blocks: int = 16,
+    tile: int = 128,
+) -> ShardedBsrTables | None:
+    """Host-side BSR metadata for every shard's local operator. Returns None
+    when the layout is not tileable (Ns not a multiple of 128) or a shard
+    exceeds ``max_blocks`` column tiles per row tile."""
+    from cgcnet_tpu.ops.pallas.bsr_kernel import bsr_block_meta
+
+    d, ns, k = part.nbr_remap.shape
+    if ns % tile != 0:
+        return None
+    h = d * part.halo_capacity
+    nc = -(-(ns + h) // tile) * tile
+
+    # rectangular transpose of the OFF-DIAGONAL local operator: rows =
+    # column space NC. Self slots must be excluded — the forward blocks are
+    # built from off_mask (the self weight is applied as an epilogue), so
+    # the transpose must match or gradients gain phantom diagonal terms.
+    nbr_ts, mask_ts = [], []
+    kt = 0
+    for di in range(d):
+        nbr_s = part.nbr_remap[di]
+        ok = (part.nbr_mask[di] > 0) & (
+            nbr_s != np.arange(ns, dtype=nbr_s.dtype)[:, None]
+        )
+        src = np.repeat(np.arange(ns, dtype=np.int64), k)[ok.ravel()]
+        dst = nbr_s.ravel().astype(np.int64)[ok.ravel()]
+        counts = np.bincount(dst, minlength=nc)
+        kt = max(kt, int(counts.max()) if len(dst) else 1)
+        nbr_ts.append((src, dst, counts))
+    kt = max(kt, 1)
+    t_idx = np.zeros((d, nc, kt), np.int32)
+    t_mask = np.zeros((d, nc, kt), np.float32)
+    for di, (src, dst, counts) in enumerate(nbr_ts):
+        order = np.argsort(dst, kind="stable")
+        src, dst = src[order], dst[order]
+        starts = np.concatenate([[0], np.cumsum(counts)])
+        slot = np.arange(len(src)) - starts[dst]
+        t_idx[di, dst, slot] = src.astype(np.int32)
+        t_mask[di, dst, slot] = 1.0
+
+    try:
+        metas = [
+            bsr_block_meta(part.nbr_remap[di], part.nbr_mask[di], max_blocks)
+            for di in range(d)
+        ]
+        metas_t = [
+            bsr_block_meta(t_idx[di], t_mask[di], max_blocks)
+            for di in range(d)
+        ]
+    except ValueError:
+        return None
+    # one static M across shards (shard_map needs identical shapes)
+    m = max(max(mm[2] for mm in metas), 1)
+    mt = max(max(mm[2] for mm in metas_t), 1)
+    return ShardedBsrTables(
+        blk_cols=np.stack([mm[0][:, :m] for mm in metas]),
+        blk_mask=np.stack([mm[1][:, :m] for mm in metas]),
+        nbr_t=t_idx,
+        mask_t=t_mask,
+        blk_cols_t=np.stack([mm[0][:, :mt] for mm in metas_t]),
+        blk_mask_t=np.stack([mm[1][:, :mt] for mm in metas_t]),
+        nc=nc,
+    )
+
+
 # ---------------------------------------------------------------------------
 # shard_map ops (run under a mesh with axis name 'graph')
 # ---------------------------------------------------------------------------

@@ -41,7 +41,9 @@ from flax import struct
 @struct.dataclass
 class MegaInputs:
     """Device-ready sharded slide graph (leading dims sharded over 'graph').
-    A pytree — can cross jit boundaries directly."""
+    A pytree — can cross jit boundaries directly. The optional BSR fields
+    (from mega_graph.build_bsr_tables) switch stage-1 aggregation to the
+    gather-free Pallas MXU kernel with halo columns as extra tiles."""
 
     x: jax.Array           # f32[N, F]
     nbr_remap: jax.Array   # i32[N, K]
@@ -49,6 +51,12 @@ class MegaInputs:
     req_idx: jax.Array     # i32[D*D, P]
     req_mask: jax.Array    # f32[D*D, P]
     valid: jax.Array       # f32[N] real-node mask
+    blk_cols: jax.Array | None = None    # i32[D*R, M]
+    blk_mask: jax.Array | None = None    # f32[D*R, M]
+    nbr_t: jax.Array | None = None       # i32[D*NC, KT]
+    mask_t: jax.Array | None = None      # f32[D*NC, KT]
+    blk_cols_t: jax.Array | None = None  # i32[D*RC, MT]
+    blk_mask_t: jax.Array | None = None  # f32[D*RC, MT]
 
 
 def prepare_mega_inputs(
@@ -56,13 +64,31 @@ def prepare_mega_inputs(
     part: ShardedGraphPartition,
     mesh: Mesh,
     n_real: int | None = None,
+    bsr=None,
 ) -> MegaInputs:
+    """``bsr``: optional mega_graph.ShardedBsrTables enabling the Pallas
+    block-sparse aggregation path."""
     n, k = part.nbr_remap.shape[0] * part.nbr_remap.shape[1], part.nbr_remap.shape[2]
     nn = part.nbr_remap.shape[0] * part.nbr_remap.shape[1]
     spec = NamedSharding(mesh, P("graph"))
     put = lambda a: jax.device_put(jnp.asarray(a), spec)
     valid = np.zeros(nn, np.float32)
     valid[: (n_real if n_real is not None else nn)] = 1.0
+    extra = {}
+    if bsr is not None:
+        d = part.num_shards
+        extra = {
+            "blk_cols": put(bsr.blk_cols.reshape(-1, bsr.blk_cols.shape[-1])),
+            "blk_mask": put(bsr.blk_mask.reshape(-1, bsr.blk_mask.shape[-1])),
+            "nbr_t": put(bsr.nbr_t.reshape(-1, bsr.nbr_t.shape[-1])),
+            "mask_t": put(bsr.mask_t.reshape(-1, bsr.mask_t.shape[-1])),
+            "blk_cols_t": put(
+                bsr.blk_cols_t.reshape(-1, bsr.blk_cols_t.shape[-1])
+            ),
+            "blk_mask_t": put(
+                bsr.blk_mask_t.reshape(-1, bsr.blk_mask_t.shape[-1])
+            ),
+        }
     return MegaInputs(
         x=put(x),
         nbr_remap=put(part.nbr_remap.reshape(nn, k)),
@@ -70,6 +96,7 @@ def prepare_mega_inputs(
         req_idx=put(part.req_idx.reshape(-1, part.halo_capacity)),
         req_mask=put(part.req_mask.reshape(-1, part.halo_capacity)),
         valid=put(valid),
+        **extra,
     )
 
 
@@ -206,6 +233,21 @@ class _ShardedAdj:
             inputs.nbr_remap != row[:, None]
         ).astype(inputs.nbr_mask.dtype)
         deg = jnp.sum(self.off_mask, -1)
+        # BSR path: build the local-operator blocks ONCE per forward — all
+        # stage-1 matvecs then run the gather-free Pallas MXU kernel
+        self.bsr = inputs.blk_cols is not None
+        if self.bsr:
+            from cgcnet_tpu.ops.pallas.bsr_kernel import bsr_build_blocks
+
+            dt = inputs.x.dtype
+            self.vals = bsr_build_blocks(
+                inputs.nbr_remap[None], self.off_mask[None],
+                inputs.blk_cols[None], inputs.blk_mask[None], dt,
+            )
+            self.vals_t = bsr_build_blocks(
+                inputs.nbr_t[None], inputs.mask_t[None],
+                inputs.blk_cols_t[None], inputs.blk_mask_t[None], dt,
+            )
         if cfg.norm_adj:
             p = cfg.self_weight
             self.scale = (1.0 - p) / (deg + EPS) * inputs.valid
@@ -221,6 +263,24 @@ class _ShardedAdj:
 
     def __call__(self, h):
         nbr, w = self.inp.nbr_remap, self.off_mask
+        if self.bsr:
+            from cgcnet_tpu.ops.ell import bsr_local_matmul
+
+            halo = _halo_exchange(
+                h, self.inp.req_idx, self.inp.req_mask, self.axis
+            )
+            xx = jnp.concatenate([h, halo], 0)
+            nc = self.inp.nbr_t.shape[0]
+            if xx.shape[0] < nc:
+                xx = jnp.concatenate(
+                    [xx, jnp.zeros((nc - xx.shape[0], xx.shape[1]), xx.dtype)],
+                    0,
+                )
+            agg = bsr_local_matmul(
+                self.vals, self.inp.blk_cols[None],
+                self.vals_t, self.inp.blk_cols_t[None], xx,
+            )
+            return self.scale[:, None] * agg + self.self_w * h
         if self.overlap:
             ns = h.shape[0]
             slot_local = jnp.where(self.inp.nbr_mask > 0, nbr, 0) < ns
@@ -272,8 +332,8 @@ def mega_forward(
     stats = variables.get("batch_stats", {})
     d1, d2 = cfg.assign_dims
 
-    def fn(params, stats, x, nbr_remap, nbr_mask, req_idx, req_mask, valid):
-        inp = MegaInputs(x, nbr_remap, nbr_mask, req_idx, req_mask, valid)
+    def fn(params, stats, inp: MegaInputs):
+        x, valid = inp.x, inp.valid
         adj = _ShardedAdj(inp, cfg, axis, overlap=halo_overlap)
         neg = jnp.finfo(x.dtype).min
         stats_out: dict = {}
@@ -354,14 +414,12 @@ def mega_forward(
         return logits
 
     out_specs = (P(), P()) if return_stats else P()
+    inp_specs = jax.tree.map(lambda _: P(axis), inputs)
     shard_fn = jax.shard_map(
         fn,
         mesh=mesh,
-        in_specs=(P(), P(), P(axis), P(axis), P(axis), P(axis), P(axis), P(axis)),
+        in_specs=(P(), P(), inp_specs),
         out_specs=out_specs,
         check_vma=False,
     )
-    return shard_fn(
-        params, stats, inputs.x, inputs.nbr_remap, inputs.nbr_mask,
-        inputs.req_idx, inputs.req_mask, inputs.valid,
-    )
+    return shard_fn(params, stats, inputs)

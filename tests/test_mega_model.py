@@ -191,3 +191,61 @@ def test_slide_training_tracks_bn_stats(rng):
     # every BN'd block got an update
     for blk in ("embed1", "embed2", "embed3", "pool1", "pool2"):
         assert "bn1" in new_vars["batch_stats"][blk]
+
+
+def test_bsr_mega_path_matches_gather(rng):
+    """mega_forward with BSR tables (Pallas interpret mode) must match the
+    XLA-gather path, forward and gradient."""
+    import cgcnet_tpu.ops.pallas.bsr_kernel as bk
+    from cgcnet_tpu.parallel.mega_graph import build_bsr_tables
+
+    n_real, cap, d = 200, 256, 2   # Ns = 128 per shard
+    x, nbr, mask = build(rng, n_real, cap)
+    cfg = ModelConfig(
+        input_dim=18, max_num_nodes=320, assign_ratio=0.2,
+        hidden_dim=8, embedding_dim=8, assign_hidden_dim=8,
+        drop_out=0.0, use_pallas=False,
+    )
+    g = CellGraph(
+        x=jnp.asarray(x)[None], nbr=jnp.asarray(nbr)[None],
+        nbr_mask=jnp.asarray(mask)[None],
+        n_nodes=jnp.asarray([n_real], jnp.int32),
+    )
+    variables = CGCNet(cfg).init({"params": jax.random.key(5)}, g, train=False)
+    mesh = make_mesh(1, d, devices=jax.devices()[:d])
+    part = partition_graph(nbr, mask, d)
+    tables = build_bsr_tables(part)
+    assert tables is not None and tables.nc % 128 == 0
+    plain = prepare_mega_inputs(x, part, mesh, n_real=n_real)
+    bsr = prepare_mega_inputs(x, part, mesh, n_real=n_real, bsr=tables)
+
+    bk.set_interpret(True)
+    try:
+        out_p = np.asarray(
+            jax.jit(lambda v: mega_forward(v, cfg, plain, mesh, train=False))(
+                variables
+            )
+        )
+        out_b = np.asarray(
+            jax.jit(lambda v: mega_forward(v, cfg, bsr, mesh, train=False))(
+                variables
+            )
+        )
+        np.testing.assert_allclose(out_b, out_p, atol=3e-5)
+
+        def loss(params, inp):
+            v = {"params": params, "batch_stats": variables["batch_stats"]}
+            return -jax.nn.log_softmax(
+                mega_forward(v, cfg, inp, mesh, train=True)
+            )[1]
+
+        g_p = jax.jit(jax.grad(loss))(variables["params"], plain)
+        g_b = jax.jit(jax.grad(loss))(variables["params"], bsr)
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=5e-4, rtol=2e-3
+            ),
+            g_p, g_b,
+        )
+    finally:
+        bk.set_interpret(False)
