@@ -211,6 +211,65 @@ class NucleiGraphDataset:
             )
         return proto
 
+    def supports_fast_path(self) -> bool:
+        """One-call native batch building (loader fast path): knn graphs with
+        fuse/farthest/random sampling and spatial sort."""
+        cfg = self.cfg
+        return (
+            native.available()
+            and cfg.graph_sampler == "knn"
+            and cfg.spatial_sort
+            and cfg.sampling_method in ("fuse", "farthest", "random")
+        )
+
+    def fill_into(
+        self,
+        idx: int,
+        epoch: int,
+        out_x: np.ndarray,
+        out_nbr: np.ndarray,
+        out_mask: np.ndarray,
+        out_nbr_t: np.ndarray,
+        out_mask_t: np.ndarray,
+    ) -> tuple[int, int]:
+        """Write one padded patch directly into (batch-buffer) views via the
+        single GIL-free native call. Returns (n_nodes, label); n_nodes -1
+        signals transpose-width overflow (caller falls back to get())."""
+        cfg = self.cfg
+        name = self.names[idx]
+        proto = self._load_proto(name)
+        n = proto.num_nodes
+        rng = patch_rng(
+            cfg.seed, name, epoch, "train" if self.split == "train" else "val"
+        )
+        choice = None
+        if self.full_graph:
+            num_sub, far_num = n, 0
+        elif cfg.use_fixed:
+            from cgcnet_tpu.dataflow.fixed_epochs import load_fixed_choice
+
+            choice = load_fixed_choice(cfg, name, epoch % cfg.num_fixed_epochs)
+            num_sub, far_num = n, 0
+        elif cfg.sample_ratio < 1.0 and n >= cfg.min_nodes_no_subsample:
+            num_sub = min(int(n * cfg.sample_ratio), self.capacity)
+            far_num = {
+                "fuse": int(cfg.fuse_far_fraction * num_sub),
+                "farthest": num_sub,
+                "random": 0,
+            }[cfg.sampling_method]
+        else:
+            num_sub, far_num = n, 0
+        n_nodes = native.build_patch(
+            proto.features, proto.coords,
+            choice=choice, num_sub=num_sub, far_num=far_num, rng=rng,
+            band=cfg.max_edge_distance, radius=cfg.max_edge_distance,
+            k=cfg.max_neighbours, kt_cap=out_nbr_t.shape[1],
+            feat_mode=cfg.feature_type, mean=self.mean, std=self.std,
+            out_x=out_x, out_nbr=out_nbr, out_mask=out_mask,
+            out_nbr_t=out_nbr_t, out_mask_t=out_mask_t,
+        )
+        return n_nodes, proto.label
+
     def get(self, idx: int, epoch: int = 0) -> GraphSample:
         cfg = self.cfg
         name = self.names[idx]
@@ -323,47 +382,54 @@ def collate(
         "patch_idx": np.asarray([s.patch_idx for s in samples], np.int32),
     }
     if bsr_blocks > 0:
-        if native.available():
-            bsr_block_meta = native.bsr_block_meta
-            bsr_blocks_needed = native.bsr_blocks_needed
-        else:
-            from cgcnet_tpu.ops.pallas.bsr_kernel import (
-                bsr_block_meta,
-                bsr_blocks_needed,
-            )
-
-        # quantized per-batch block capacity — PER DIRECTION: the transpose
-        # (in-edge) lists typically touch more column tiles than the forward
-        # lists, and kernel DMA cost scales with the cap. Tight metadata with
-        # a bounded set of compiled shapes; ``bsr_blocks`` is the ceiling —
-        # beyond it, fall back to XLA gathers.
-        for src, msk, cname, mname in (
-            ("nbr", "nbr_mask", "blk_cols", "blk_mask"),
-            ("nbr_t", "nbr_t_mask", "blk_cols_t", "blk_mask_t"),
-        ):
-            need = max(
-                bsr_blocks_needed(batch[src][bi], batch[msk][bi])
-                for bi in range(len(samples))
-            )
-            cap = next((c for c in (4, 6, 8, 12, 16) if c >= need), None)
-            if cap is None or cap > max(bsr_blocks, 4):
-                import warnings
-
-                warnings.warn(
-                    f"graph needs {need} BSR blocks/row-tile > cap "
-                    f"{bsr_blocks}; batch falls back to XLA gather "
-                    "aggregation (raise data.bsr_blocks or enable "
-                    "data.spatial_sort)",
-                    stacklevel=2,
-                )
-                for k in ("blk_cols", "blk_mask", "blk_cols_t", "blk_mask_t"):
-                    batch.pop(k, None)
-                return batch
-            cols, masks = [], []
-            for bi in range(len(samples)):
-                c, m, _ = bsr_block_meta(batch[src][bi], batch[msk][bi], cap)
-                cols.append(c)
-                masks.append(m)
-            batch[cname] = np.stack(cols)
-            batch[mname] = np.stack(masks)
+        attach_bsr_meta(batch, bsr_blocks)
     return batch
+
+
+def attach_bsr_meta(batch: dict, bsr_blocks: int) -> None:
+    """Add block-sparse metadata to a collated batch, in place.
+
+    Quantized per-batch block capacity — PER DIRECTION: the transpose
+    (in-edge) lists typically touch more column tiles than the forward
+    lists, and kernel DMA cost scales with the cap. Tight metadata with a
+    bounded set of compiled shapes; ``bsr_blocks`` is the ceiling — beyond
+    it, the batch carries no metadata and the model uses XLA gathers."""
+    if native.available():
+        bsr_block_meta = native.bsr_block_meta
+        bsr_blocks_needed = native.bsr_blocks_needed
+    else:
+        from cgcnet_tpu.ops.pallas.bsr_kernel import (
+            bsr_block_meta,
+            bsr_blocks_needed,
+        )
+
+    nb = batch["x"].shape[0]
+    for src, msk, cname, mname in (
+        ("nbr", "nbr_mask", "blk_cols", "blk_mask"),
+        ("nbr_t", "nbr_t_mask", "blk_cols_t", "blk_mask_t"),
+    ):
+        need = max(
+            bsr_blocks_needed(batch[src][bi], batch[msk][bi])
+            for bi in range(nb)
+        )
+        cap = next((c for c in (4, 6, 8, 12, 16) if c >= need), None)
+        if cap is None or cap > max(bsr_blocks, 4):
+            import warnings
+
+            warnings.warn(
+                f"graph needs {need} BSR blocks/row-tile > cap "
+                f"{bsr_blocks}; batch falls back to XLA gather "
+                "aggregation (raise data.bsr_blocks or enable "
+                "data.spatial_sort)",
+                stacklevel=2,
+            )
+            for k in ("blk_cols", "blk_mask", "blk_cols_t", "blk_mask_t"):
+                batch.pop(k, None)
+            return
+        cols, masks = [], []
+        for bi in range(nb):
+            c, m, _ = bsr_block_meta(batch[src][bi], batch[msk][bi], cap)
+            cols.append(c)
+            masks.append(m)
+        batch[cname] = np.stack(cols)
+        batch[mname] = np.stack(masks)

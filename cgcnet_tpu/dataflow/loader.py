@@ -97,11 +97,52 @@ class GraphLoader:
             for i in range(0, len(order), self.batch_size)
         ]
 
-        def build(idxs):
-            # whole batch per task: sample gets AND collate run inside the
-            # worker, so the consumer thread only does device_put
+        fast = self.dataset.supports_fast_path() and self.capacity is not None
+
+        def build_slow(idxs):
             samples = [self.dataset.get(int(i), epoch) for i in idxs]
             return collate(samples, self.capacity, self.bsr_blocks)
+
+        def build(idxs):
+            # whole batch per task: sample gets AND collate run inside the
+            # worker, so the consumer thread only does device_put. Fast
+            # path: every patch is ONE GIL-free native call writing straight
+            # into the batch buffers (dataset.fill_into).
+            if not fast:
+                return build_slow(idxs)
+            ds = self.dataset
+            b, cap = len(idxs), self.capacity
+            k, kt = ds.cfg.max_neighbours, ds.transpose_width
+            f = {"c": 2, "a": 16, "ca": 18}[ds.cfg.feature_type]
+            batch = {
+                "x": np.empty((b, cap, f), np.float32),
+                "nbr": np.empty((b, cap, k), np.int32),
+                "nbr_mask": np.empty((b, cap, k), np.float32),
+                "nbr_t": np.empty((b, cap, kt), np.int32),
+                "nbr_t_mask": np.empty((b, cap, kt), np.float32),
+                "n_nodes": np.empty(b, np.int32),
+                "y": np.empty(b, np.int32),
+                "patch_idx": np.asarray([int(i) for i in idxs], np.int32),
+            }
+            for bi, i in enumerate(idxs):
+                n, y = ds.fill_into(
+                    int(i), epoch,
+                    batch["x"][bi], batch["nbr"][bi], batch["nbr_mask"][bi],
+                    batch["nbr_t"][bi], batch["nbr_t_mask"][bi],
+                )
+                if n < 0:
+                    # transpose width overflow: numpy path widens this
+                    # batch; widen the dataset's nominal width so later
+                    # batches stay on the fast path (benign worker race)
+                    self.dataset.transpose_width = min(kt * 2, 1024)
+                    return build_slow(idxs)
+                batch["n_nodes"][bi] = n
+                batch["y"][bi] = y
+            if self.bsr_blocks > 0:
+                from cgcnet_tpu.dataflow.dataset import attach_bsr_meta
+
+                attach_bsr_meta(batch, self.bsr_blocks)
+            return batch
 
         window = max(self.num_workers, self.prefetch + 1)
         with ThreadPoolExecutor(self.num_workers) as ex:

@@ -78,6 +78,16 @@ def _load_locked():
     u8p = ctypes.POINTER(ctypes.c_uint8)
     lib.local_entropy_u8.argtypes = [u8p, i64, i64, ctypes.c_int, f32p]
     lib.local_entropy_u8.restype = ctypes.c_int
+    lib.build_patch.argtypes = [
+        f32p, f32p, i64, ctypes.c_int,            # feats, coords, n, fdim
+        i32p, i64,                                 # choice_in, choice_len
+        i64, i64, i64, ctypes.c_uint64,            # num_sub, far, start, seed
+        ctypes.c_float, ctypes.c_float,            # band, radius
+        ctypes.c_int, ctypes.c_int, ctypes.c_int,  # k, kt_cap, feat_mode
+        f32p, f32p, i64,                           # mean, std, cap
+        f32p, i32p, f32p, i32p, f32p,              # outputs
+    ]
+    lib.build_patch.restype = i64
     _LIB = lib
     return _LIB
 
@@ -213,6 +223,63 @@ def bsr_block_meta(
             "spatially sort nodes or raise bsr max_blocks"
         )
     return cols, cmask, need
+
+
+_FEAT_MODE = {"ca": 0, "a": 1, "c": 2}
+
+
+def build_patch(
+    feats: np.ndarray,
+    coords: np.ndarray,
+    *,
+    choice: np.ndarray | None,
+    num_sub: int,
+    far_num: int,
+    rng: np.random.Generator,
+    band: float,
+    radius: float,
+    k: int,
+    kt_cap: int,
+    feat_mode: str,
+    mean: np.ndarray,
+    std: np.ndarray,
+    out_x: np.ndarray,
+    out_nbr: np.ndarray,
+    out_mask: np.ndarray,
+    out_nbr_t: np.ndarray,
+    out_mask_t: np.ndarray,
+) -> int:
+    """Whole per-item pipeline in one GIL-free call — writes padded arrays
+    (typically views into the batch buffers). Returns the real node count,
+    or -1 on transpose-width overflow (caller falls back to numpy)."""
+    lib = _load()
+    assert lib is not None
+    feats = np.ascontiguousarray(feats, np.float32)
+    coords = np.ascontiguousarray(coords, np.float32)
+    n = coords.shape[0]
+    if choice is not None:
+        choice = np.ascontiguousarray(choice, np.int32)
+        cp, clen = _i32p(choice), len(choice)
+    else:
+        cp = ctypes.cast(0, ctypes.POINTER(ctypes.c_int32))
+        clen = 0
+    sampling = choice is None and num_sub < n
+    return int(
+        lib.build_patch(
+            _f32p(feats), _f32p(coords), n, feats.shape[1],
+            cp, clen,
+            num_sub, far_num,
+            int(rng.integers(n)) if sampling else 0,
+            int(rng.integers(np.iinfo(np.uint64).max, dtype=np.uint64))
+            if sampling else 0,
+            band, radius, k, out_nbr_t.shape[1], _FEAT_MODE[feat_mode],
+            _f32p(np.ascontiguousarray(mean, np.float32)),
+            _f32p(np.ascontiguousarray(std, np.float32)),
+            out_x.shape[0],
+            _f32p(out_x), _i32p(out_nbr), _f32p(out_mask),
+            _i32p(out_nbr_t), _f32p(out_mask_t),
+        )
+    )
 
 
 def local_entropy_u8(gray: np.ndarray, radius: int = 3) -> np.ndarray:

@@ -24,6 +24,15 @@
 
 extern "C" {
 
+// forward declarations (build_patch composes these)
+int radius_knn(const float* pos, int64_t n, float radius, int k,
+               int32_t* out_nbr, float* out_mask);
+int64_t sample_and_sort(const float* pos, int64_t n, int64_t num_sub,
+                        int64_t far_num, int64_t start, uint64_t seed,
+                        float band, int32_t* out_choice);
+int64_t transpose_ell(const int32_t* nbr, const float* mask, int64_t n, int k,
+                      int width_t, int32_t* out_nbr_t, float* out_mask_t);
+
 // Radius-bounded kNN over 2-D points: for each point, up to `k` nearest
 // neighbours (self included, slot 0) within `radius`, ties by lower index.
 // pos: [n,2] float32 (row-major). out_nbr: [n,k] int32 (pre-filled by caller
@@ -63,10 +72,13 @@ int radius_knn(const float* pos, int64_t n, float radius, int k,
     for (int64_t i = 0; i < n; ++i) bucket[cursor[cell_of[i]]++] = i;
   }
 
-  // per-point search over the 3x3 cell neighbourhood
-  std::vector<std::pair<float, int64_t>> cand;
+  // per-point search over the 3x3 cell neighbourhood; candidates inserted
+  // directly into a k-slot nearest list (k is small — insertion beats
+  // collecting + partial_sort, which dominated the loader's graph build)
+  std::vector<float> bd(k);
+  std::vector<int64_t> bj(k);
   for (int64_t i = 0; i < n; ++i) {
-    cand.clear();
+    int kk = 0;
     const float xi = pos[2 * i], yi = pos[2 * i + 1];
     const int64_t cx = cell_of[i] / gy, cy = cell_of[i] % gy;
     for (int64_t dx = -1; dx <= 1; ++dx) {
@@ -78,17 +90,28 @@ int radius_knn(const float* pos, int64_t n, float radius, int k,
           const int64_t j = bucket[b];
           const float ddx = pos[2 * j] - xi, ddy = pos[2 * j + 1] - yi;
           const float d2 = ddx * ddx + ddy * ddy;
-          if (d2 <= r2) cand.emplace_back(d2, j);
+          if (d2 > r2) continue;
+          if (kk == k && (d2 > bd[k - 1] ||
+                          (d2 == bd[k - 1] && j > bj[k - 1])))
+            continue;
+          // insertion position: nearest first, ties by lower index (same
+          // order as ops/knn.py's lexsort; self d2=0 wins slot 0)
+          int p = kk < k ? kk : k - 1;
+          while (p > 0 && (bd[p - 1] > d2 ||
+                           (bd[p - 1] == d2 && bj[p - 1] > j))) {
+            bd[p] = bd[p - 1];
+            bj[p] = bj[p - 1];
+            --p;
+          }
+          bd[p] = d2;
+          bj[p] = j;
+          if (kk < k) ++kk;
         }
       }
     }
-    // nearest k, ties by lower index (self has d2=0, index i — the builder
-    // in ops/knn.py guarantees self wins slot 0 the same way)
-    const size_t kk = std::min<size_t>(k, cand.size());
-    std::partial_sort(cand.begin(), cand.begin() + kk, cand.end());
     for (int s = 0; s < k; ++s) {
-      if ((size_t)s < kk) {
-        out_nbr[i * k + s] = (int32_t)cand[s].second;
+      if (s < kk) {
+        out_nbr[i * k + s] = (int32_t)bj[s];
         out_mask[i * k + s] = 1.0f;
       } else {
         out_nbr[i * k + s] = (int32_t)i;
@@ -321,6 +344,99 @@ int fps_table(const float* dist, int64_t n, int64_t start, int64_t num_samples,
       if (row[j] < running[j]) running[j] = row[j];
   }
   return 0;
+}
+
+// One-call patch builder — the loader's whole per-item pipeline without
+// touching the GIL once: (optional) fuse/farthest/random subsample OR
+// replayed choice, spatial band sort, per-node feature gather + z-score,
+// radius-kNN, ELL transpose, and capacity padding, all written straight
+// into caller-provided (batch-buffer) arrays.
+//
+// feats [n, fdim] (fdim appearance dims), coords [n, 2].
+// choice_in: optional pre-sampled indices (use_fixed replay); NULL samples.
+// num_sub >= n means keep the whole patch (still band-sorted).
+// feat_mode: 0 = appearance++coords ('ca'), 1 = appearance ('a'),
+//            2 = coords ('c'); mean/stdv are [f_out] for the sliced set.
+// Outputs (cap rows each): out_x [cap, f_out], out_nbr/out_mask [cap, k],
+// out_nbr_t/out_mask_t [cap, kt_cap]. Rows past the real count carry
+// self-indices / zeros.
+// Returns the real node count, or -1 if the transpose width overflows
+// (caller falls back to the numpy path).
+int64_t build_patch(
+    const float* feats, const float* coords, int64_t n, int fdim,
+    const int32_t* choice_in, int64_t choice_len,
+    int64_t num_sub, int64_t far_num, int64_t start, uint64_t seed,
+    float band, float radius, int k, int kt_cap, int feat_mode,
+    const float* mean, const float* stdv, int64_t cap,
+    float* out_x, int32_t* out_nbr, float* out_mask,
+    int32_t* out_nbr_t, float* out_mask_t) {
+  const float bnd = band > 0 ? band : 1.0f;
+  auto band_less = [&](int32_t a, int32_t c) {
+    const float ba = std::floor(coords[2 * a] / bnd);
+    const float bc = std::floor(coords[2 * c] / bnd);
+    if (ba != bc) return ba < bc;
+    return coords[2 * a + 1] < coords[2 * c + 1];
+  };
+  std::vector<int32_t> choice;
+  if (choice_in != nullptr) {
+    const int64_t m0 = std::min(choice_len, cap);
+    choice.assign(choice_in, choice_in + m0);
+    std::stable_sort(choice.begin(), choice.end(), band_less);
+  } else if (num_sub >= n) {
+    choice.resize(std::min(n, cap));
+    for (size_t i = 0; i < choice.size(); ++i) choice[i] = (int32_t)i;
+    std::stable_sort(choice.begin(), choice.end(), band_less);
+  } else {
+    choice.resize(std::min(num_sub, cap));
+    const int64_t total = sample_and_sort(
+        coords, n, (int64_t)choice.size(), far_num, start, seed, band,
+        choice.data());
+    choice.resize(total);
+  }
+  const int64_t m = (int64_t)choice.size();
+  const int f_out = feat_mode == 0 ? fdim + 2 : (feat_mode == 1 ? fdim : 2);
+
+  // features: gather + z-score
+  for (int64_t i = 0; i < m; ++i) {
+    const int64_t src = choice[i];
+    float* row = out_x + i * f_out;
+    if (feat_mode == 2) {
+      row[0] = (coords[2 * src] - mean[0]) / stdv[0];
+      row[1] = (coords[2 * src + 1] - mean[1]) / stdv[1];
+    } else {
+      const float* fr = feats + src * fdim;
+      for (int j = 0; j < fdim; ++j) row[j] = (fr[j] - mean[j]) / stdv[j];
+      if (feat_mode == 0) {
+        row[fdim] = (coords[2 * src] - mean[fdim]) / stdv[fdim];
+        row[fdim + 1] = (coords[2 * src + 1] - mean[fdim + 1]) / stdv[fdim + 1];
+      }
+    }
+  }
+  std::memset(out_x + m * f_out, 0, sizeof(float) * (cap - m) * f_out);
+
+  // sampled coordinates + radius kNN (writes the first m rows)
+  std::vector<float> sc(2 * m);
+  for (int64_t i = 0; i < m; ++i) {
+    sc[2 * i] = coords[2 * choice[i]];
+    sc[2 * i + 1] = coords[2 * choice[i] + 1];
+  }
+  radius_knn(sc.data(), m, radius, k, out_nbr, out_mask);
+  for (int64_t i = m; i < cap; ++i)
+    for (int s = 0; s < k; ++s) {
+      out_nbr[i * k + s] = (int32_t)i;
+      out_mask[i * k + s] = 0.0f;
+    }
+
+  // transpose (self-pattern prefill over all cap rows)
+  for (int64_t i = 0; i < cap; ++i)
+    for (int s = 0; s < kt_cap; ++s) {
+      out_nbr_t[i * kt_cap + s] = (int32_t)i;
+      out_mask_t[i * kt_cap + s] = 0.0f;
+    }
+  const int64_t md =
+      transpose_ell(out_nbr, out_mask, m, k, kt_cap, out_nbr_t, out_mask_t);
+  if (md < 0) return -1;
+  return m;
 }
 
 // Transpose a padded-ELL adjacency. Returns max in-degree, or -1 if it

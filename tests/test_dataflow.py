@@ -189,3 +189,78 @@ def test_loader_worker_error_surfaces(synth_root):
     loader = GraphLoader(ds, len(ds.names), shuffle=False, num_workers=2)
     with pytest.raises(FileNotFoundError):
         list(loader.epoch(0))
+
+
+class TestFastPath:
+    """Loader fast path (native build_patch) vs the numpy pipeline."""
+
+    def _dataset(self, tmp_path, **over):
+        from cgcnet_tpu.config import DataConfig
+        from cgcnet_tpu.dataflow.dataset import NucleiGraphDataset
+        from cgcnet_tpu.dataflow.synthetic import generate_dataset
+
+        generate_dataset(
+            str(tmp_path), patches_per_image=2, images_per_grade=1,
+            n_nodes=(150, 250), seed=5,
+        )
+        cfg = DataConfig(root=str(tmp_path), max_num_nodes=256,
+                         sample_ratio=0.5, min_nodes_no_subsample=10, **over)
+        return NucleiGraphDataset(cfg, "train", transpose_width=32)
+
+    def test_fill_into_matches_get(self, tmp_path):
+        from cgcnet_tpu.dataflow import native
+
+        if not native.available():
+            pytest.skip("native lib not built")
+        ds = self._dataset(tmp_path)
+        assert ds.supports_fast_path()
+        cap = ds.capacity
+        for idx in range(len(ds.names)):
+            x = np.empty((cap, 18), np.float32)
+            nbr = np.empty((cap, 8), np.int32)
+            mk = np.empty((cap, 8), np.float32)
+            nt = np.empty((cap, 32), np.int32)
+            mt = np.empty((cap, 32), np.float32)
+            n, y = ds.fill_into(idx, 1, x, nbr, mk, nt, mt)
+            s = ds.get(idx, 1)
+            assert (n, y) == (s.n_nodes, s.label)
+            np.testing.assert_allclose(x[:n], s.x, atol=1e-6)
+            np.testing.assert_array_equal(nbr[:n], s.nbr)
+            # padding rows: self indices, zero mask, zero features
+            assert (x[n:] == 0).all() and (mk[n:] == 0).all()
+            assert (nbr[n:] == np.arange(n, cap)[:, None]).all()
+            # transpose edge-set equality per row
+            for i in range(n):
+                assert set(nt[i][mt[i] > 0]) == set(
+                    s.nbr_t[i][s.nbr_t_mask[i] > 0]
+                ), i
+
+    def test_loader_fast_equals_slow_batches(self, tmp_path):
+        from cgcnet_tpu.dataflow import native
+        from cgcnet_tpu.dataflow.loader import GraphLoader
+
+        if not native.available():
+            pytest.skip("native lib not built")
+        ds = self._dataset(tmp_path)
+        fast = GraphLoader(ds, 2, shuffle=False, num_workers=2, seed=3)
+        batches_fast = [g for g in fast.epoch(2)]
+        # force the numpy path by pretending fast isn't supported
+        ds2 = self._dataset(tmp_path)
+        ds2.supports_fast_path = lambda: False
+        slow = GraphLoader(ds2, 2, shuffle=False, num_workers=2, seed=3)
+        batches_slow = [g for g in slow.epoch(2)]
+        assert len(batches_fast) == len(batches_slow)
+        for gf, gs in zip(batches_fast, batches_slow):
+            np.testing.assert_array_equal(
+                np.asarray(gf.n_nodes), np.asarray(gs.n_nodes)
+            )
+            np.testing.assert_allclose(
+                np.asarray(gf.x), np.asarray(gs.x), atol=1e-6
+            )
+            np.testing.assert_array_equal(
+                np.asarray(gf.nbr), np.asarray(gs.nbr)
+            )
+            if gf.blk_cols is not None and gs.blk_cols is not None:
+                np.testing.assert_array_equal(
+                    np.asarray(gf.blk_cols), np.asarray(gs.blk_cols)
+                )
