@@ -36,7 +36,8 @@ class ModelConfig:
     max_num_nodes: int = 11404
     assign_ratio: float = 0.1
     pred_hidden_dims: tuple[int, ...] = (50,)
-    gcn_name: str = "SAGE"         # 'SAGE' | 'GIN'
+    gcn_name: str = "SAGE"         # 'SAGE' | 'GIN' | 'GAT' (dot-product
+                                   # attention — TPU-build extension)
     activation: str = "relu"       # 'relu' | 'elu' | 'leakyrelu'
     bias: bool = True
     bn: bool = True

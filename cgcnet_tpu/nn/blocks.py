@@ -11,6 +11,7 @@ from flax import linen as fnn
 
 from cgcnet_tpu.nn.adjacency import Adjacency
 from cgcnet_tpu.nn.layers import (
+    GATConv,
     GINConv,
     SAGEConv,
     TorchBatchNorm,
@@ -48,6 +49,8 @@ class GNNBlock(fnn.Module):
         def conv(features):
             if self.gcn_name == "SAGE":
                 return SAGEConv(features, use_bias=self.use_bias)
+            if self.gcn_name == "GAT":
+                return GATConv(features, use_bias=self.use_bias)
             return GINConv(features, act=self.act)
 
         self.gcn1 = conv(self.hidden_dim)
@@ -123,7 +126,15 @@ def paired_blocks(
     concatenate the two feature streams into a single matvec and split.
     Halves the number of sparse-aggregation kernel launches vs running the
     blocks independently, with bit-identical per-block math.
+
+    Attention convolutions (GAT) cannot share an aggregation — the blocks
+    run independently there.
     """
+    if "GAT" in (embed_blk.gcn_name, pool_blk.gcn_name):
+        return (
+            embed_blk(x, adj, mask, train=train),
+            pool_blk(x, adj, mask, train=train),
+        )
     agg1 = adj.matvec(x)
     e = embed_blk.conv_step(1, x, adj, mask, train=train, agg=agg1)
     p = pool_blk.conv_step(1, x, adj, mask, train=train, agg=agg1)

@@ -126,6 +126,83 @@ class GINConv(fnn.Module):
         return out
 
 
+class GATConv(fnn.Module):
+    """Dot-product attention message passing over the same Adjacency
+    abstraction — a capability extension beyond the reference's binary
+    SAGE/GIN (select with ``gcn_name='GAT'``).
+
+    out_i = sum_j alpha_ij (W_v x_j) with alpha = softmax_j(<W_q x_i,
+    W_k x_j> / sqrt(F)) over {i} ∪ N(i). On ELL graphs the edge scores run
+    :func:`ops.sddmm.ell_sddmm` + masked edge softmax; pooled dense stages
+    mask the full score matrix by adjacency support. Softmax in f32 under
+    bf16 compute like the rest of the precision policy.
+    """
+
+    features: int
+    use_bias: bool = True
+
+    @fnn.compact
+    def __call__(
+        self,
+        x: jax.Array,
+        adj: Adjacency,
+        mask: Optional[jax.Array] = None,
+        *,
+        agg: Optional[jax.Array] = None,
+    ) -> jax.Array:
+        del agg  # attention cannot share a precomputed aggregation
+        from cgcnet_tpu.nn.adjacency import DenseAdj, EllAdj, EllAdjFactored
+        from cgcnet_tpu.ops.ell import ell_gather_sum
+        from cgcnet_tpu.ops.sddmm import ell_sddmm
+
+        q = TorchLinear(self.features, use_bias=self.use_bias, name="q")(x)
+        k = TorchLinear(self.features, use_bias=self.use_bias, name="k")(x)
+        v = TorchLinear(self.features, use_bias=self.use_bias, name="v")(x)
+        scale = 1.0 / (self.features ** 0.5)
+        if isinstance(adj, DenseAdj):
+            logits = jnp.einsum(
+                "bif,bjf->bij", q, k, preferred_element_type=jnp.float32
+            ) * scale
+            neg = jnp.finfo(jnp.float32).min
+            logits = jnp.where(adj.adj > 0, logits.astype(jnp.float32), neg)
+            alpha = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
+            # rows with no support would softmax to uniform garbage
+            alpha = alpha * (adj.rowsum() > 0)[..., None].astype(x.dtype)
+            out = jnp.einsum(
+                "bij,bjf->bif", alpha, v, preferred_element_type=x.dtype
+            )
+        else:
+            if isinstance(adj, EllAdjFactored):
+                nbr, slot_mask = adj.nbr, adj.off_mask
+            else:
+                assert isinstance(adj, EllAdj)
+                row = jnp.arange(adj.nbr.shape[1], dtype=adj.nbr.dtype)
+                slot_mask = (adj.w > 0).astype(x.dtype) * (
+                    adj.nbr != row[None, :, None]
+                )
+                nbr = adj.nbr
+            # scores over [self ++ K off-diagonal slots], softmax in f32
+            e_nbr = ell_sddmm(nbr, slot_mask, q, k).astype(jnp.float32)
+            e_self = jnp.sum(
+                (q * k).astype(jnp.float32), axis=-1, keepdims=True
+            )
+            neg = jnp.finfo(jnp.float32).min
+            scores = jnp.concatenate([e_self, e_nbr], axis=-1) * scale
+            smask = jnp.concatenate(
+                [jnp.ones_like(e_self), slot_mask.astype(jnp.float32)], -1
+            )
+            scores = jnp.where(smask > 0, scores, neg)
+            m = jnp.max(scores, axis=-1, keepdims=True)
+            ex = jnp.exp(scores - jax.lax.stop_gradient(m)) * smask
+            alpha = (ex / jnp.sum(ex, -1, keepdims=True)).astype(x.dtype)
+            out = alpha[..., :1] * v + ell_gather_sum(
+                nbr, alpha[..., 1:], v
+            )
+        if mask is not None:
+            out = out * mask[..., None].astype(out.dtype)
+        return out
+
+
 class TorchBatchNorm(fnn.Module):
     """BatchNorm1d with torch semantics over a [..., C] input flattened to
     rows: biased variance for normalization, unbiased for the running-stat
