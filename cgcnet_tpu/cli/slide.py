@@ -35,6 +35,17 @@ def main(argv=None):
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
         jax.config.update("jax_num_cpu_devices", 8)
+    else:
+        # persistent compile cache — TPU relay compiles are minutes each
+        import os as _os
+
+        _cache = _os.path.join(_os.path.dirname(_os.path.dirname(
+            _os.path.dirname(_os.path.abspath(__file__)))), ".jax_cache")
+        try:
+            _os.makedirs(_cache, exist_ok=True)
+            jax.config.update("jax_compilation_cache_dir", _cache)
+        except Exception:
+            pass
     import numpy as np
     import jax.numpy as jnp
 

@@ -1,5 +1,5 @@
 from cgcnet_tpu.nn.adjacency import EllAdj, DenseAdj
-from cgcnet_tpu.nn.layers import SAGEConv, GINConv, TorchBatchNorm, activation
+from cgcnet_tpu.nn.layers import GATConv, SAGEConv, GINConv, TorchBatchNorm, activation
 from cgcnet_tpu.nn.jk import DenseJK
 from cgcnet_tpu.nn.blocks import GNNBlock, diff_pool
 from cgcnet_tpu.nn.model import CGCNet
@@ -8,6 +8,7 @@ __all__ = [
     "EllAdj",
     "DenseAdj",
     "SAGEConv",
+    "GATConv",
     "GINConv",
     "TorchBatchNorm",
     "activation",
