@@ -38,6 +38,8 @@ class ModelConfig:
     pred_hidden_dims: tuple[int, ...] = (50,)
     gcn_name: str = "SAGE"         # 'SAGE' | 'GIN' | 'GAT' (dot-product
                                    # attention — TPU-build extension)
+    gat_heads: int = 1             # attention heads (must divide the conv
+                                   # width; GAT only)
     activation: str = "relu"       # 'relu' | 'elu' | 'leakyrelu'
     bias: bool = True
     bn: bool = True

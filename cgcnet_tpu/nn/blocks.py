@@ -42,6 +42,7 @@ class GNNBlock(fnn.Module):
     gcn_name: str = "SAGE"
     act: str = "relu"
     masked_bn: bool = True
+    gat_heads: int = 1
 
     def setup(self):
         # setup(): names come from the attribute names (param-tree layout
@@ -50,7 +51,9 @@ class GNNBlock(fnn.Module):
             if self.gcn_name == "SAGE":
                 return SAGEConv(features, use_bias=self.use_bias)
             if self.gcn_name == "GAT":
-                return GATConv(features, use_bias=self.use_bias)
+                return GATConv(
+                    features, heads=self.gat_heads, use_bias=self.use_bias
+                )
             return GINConv(features, act=self.act)
 
         self.gcn1 = conv(self.hidden_dim)

@@ -127,18 +127,20 @@ class GINConv(fnn.Module):
 
 
 class GATConv(fnn.Module):
-    """Dot-product attention message passing over the same Adjacency
-    abstraction — a capability extension beyond the reference's binary
-    SAGE/GIN (select with ``gcn_name='GAT'``).
+    """Dot-product (multi-head) attention message passing over the same
+    Adjacency abstraction — a capability extension beyond the reference's
+    binary SAGE/GIN (select with ``gcn_name='GAT'``).
 
-    out_i = sum_j alpha_ij (W_v x_j) with alpha = softmax_j(<W_q x_i,
-    W_k x_j> / sqrt(F)) over {i} ∪ N(i). On ELL graphs the edge scores run
-    :func:`ops.sddmm.ell_sddmm` + masked edge softmax; pooled dense stages
-    mask the full score matrix by adjacency support. Softmax in f32 under
-    bf16 compute like the rest of the precision policy.
+    Per head h: out_i = sum_j alpha^h_ij (W_v x_j)^h with alpha^h =
+    softmax_j(<(W_q x_i)^h, (W_k x_j)^h> / sqrt(D)) over {i} ∪ N(i); heads
+    concatenate back to ``features``. On ELL graphs the neighbour k/v rows
+    are gathered once and scored per head; pooled dense stages mask the full
+    score matrix by adjacency support. Softmax in f32 under bf16 compute
+    like the rest of the precision policy.
     """
 
     features: int
+    heads: int = 1
     use_bias: bool = True
 
     @fnn.compact
@@ -152,25 +154,32 @@ class GATConv(fnn.Module):
     ) -> jax.Array:
         del agg  # attention cannot share a precomputed aggregation
         from cgcnet_tpu.nn.adjacency import DenseAdj, EllAdj, EllAdjFactored
-        from cgcnet_tpu.ops.ell import ell_gather_sum
-        from cgcnet_tpu.ops.sddmm import ell_sddmm
 
+        assert self.features % self.heads == 0, (self.features, self.heads)
+        h, d = self.heads, self.features // self.heads
         q = TorchLinear(self.features, use_bias=self.use_bias, name="q")(x)
         k = TorchLinear(self.features, use_bias=self.use_bias, name="k")(x)
         v = TorchLinear(self.features, use_bias=self.use_bias, name="v")(x)
-        scale = 1.0 / (self.features ** 0.5)
+        scale = 1.0 / (d ** 0.5)
+        b, n = x.shape[0], x.shape[1]
+        neg = jnp.finfo(jnp.float32).min
         if isinstance(adj, DenseAdj):
+            qh = q.reshape(b, n, h, d)
+            kh = k.reshape(b, n, h, d)
             logits = jnp.einsum(
-                "bif,bjf->bij", q, k, preferred_element_type=jnp.float32
+                "bihd,bjhd->bhij", qh, kh, preferred_element_type=jnp.float32
             ) * scale
-            neg = jnp.finfo(jnp.float32).min
-            logits = jnp.where(adj.adj > 0, logits.astype(jnp.float32), neg)
+            support = (adj.adj > 0)[:, None]
+            logits = jnp.where(support, logits.astype(jnp.float32), neg)
             alpha = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
             # rows with no support would softmax to uniform garbage
-            alpha = alpha * (adj.rowsum() > 0)[..., None].astype(x.dtype)
-            out = jnp.einsum(
-                "bij,bjf->bif", alpha, v, preferred_element_type=x.dtype
+            alpha = alpha * (adj.rowsum() > 0)[:, None, :, None].astype(
+                x.dtype
             )
+            out = jnp.einsum(
+                "bhij,bjhd->bihd", alpha, v.reshape(b, n, h, d),
+                preferred_element_type=x.dtype,
+            ).reshape(b, n, self.features)
         else:
             if isinstance(adj, EllAdjFactored):
                 nbr, slot_mask = adj.nbr, adj.off_mask
@@ -181,23 +190,41 @@ class GATConv(fnn.Module):
                     adj.nbr != row[None, :, None]
                 )
                 nbr = adj.nbr
+            kk = nbr.shape[2]
+            # gather neighbour k/v rows ONCE, score all heads from them
+            gk = jax.vmap(lambda i, a: a[i])(nbr, k)     # [B, N, K, F]
+            gv = jax.vmap(lambda i, a: a[i])(nbr, v)
+            qh = q.reshape(b, n, h, d)
+            e_nbr = jnp.einsum(
+                "bnhd,bnkhd->bnkh", qh, gk.reshape(b, n, kk, h, d),
+                preferred_element_type=jnp.float32,
+            )
+            e_self = jnp.einsum(
+                "bnhd,bnhd->bnh", qh, k.reshape(b, n, h, d),
+                preferred_element_type=jnp.float32,
+            )[:, :, None]
             # scores over [self ++ K off-diagonal slots], softmax in f32
-            e_nbr = ell_sddmm(nbr, slot_mask, q, k).astype(jnp.float32)
-            e_self = jnp.sum(
-                (q * k).astype(jnp.float32), axis=-1, keepdims=True
+            scores = (
+                jnp.concatenate([e_self, e_nbr], axis=2).astype(jnp.float32)
+                * scale
             )
-            neg = jnp.finfo(jnp.float32).min
-            scores = jnp.concatenate([e_self, e_nbr], axis=-1) * scale
             smask = jnp.concatenate(
-                [jnp.ones_like(e_self), slot_mask.astype(jnp.float32)], -1
-            )
+                [jnp.ones((b, n, 1), jnp.float32),
+                 slot_mask.astype(jnp.float32)], -1
+            )[..., None]
             scores = jnp.where(smask > 0, scores, neg)
-            m = jnp.max(scores, axis=-1, keepdims=True)
+            m = jnp.max(scores, axis=2, keepdims=True)
             ex = jnp.exp(scores - jax.lax.stop_gradient(m)) * smask
-            alpha = (ex / jnp.sum(ex, -1, keepdims=True)).astype(x.dtype)
-            out = alpha[..., :1] * v + ell_gather_sum(
-                nbr, alpha[..., 1:], v
-            )
+            alpha = (ex / jnp.sum(ex, 2, keepdims=True)).astype(x.dtype)
+            vh = v.reshape(b, n, h, d)
+            out = (
+                alpha[:, :, 0, :, None] * vh
+                + jnp.einsum(
+                    "bnkh,bnkhd->bnhd", alpha[:, :, 1:],
+                    gv.reshape(b, n, kk, h, d),
+                    preferred_element_type=x.dtype,
+                )
+            ).reshape(b, n, self.features)
         if mask is not None:
             out = out * mask[..., None].astype(out.dtype)
         return out

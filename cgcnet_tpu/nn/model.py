@@ -149,6 +149,7 @@ class CGCNet(fnn.Module):
             gcn_name=c.gcn_name,
             act=c.activation,
             masked_bn=c.masked_bn,
+            gat_heads=c.gat_heads,
             name=name,
         )
 
