@@ -325,9 +325,18 @@ def mega_forward(
     sharded over ``axis``. ``halo_overlap`` structures stage-1 aggregation
     for collective/compute overlap (MeshConfig.halo_overlap).
 
+    Supports SAGE/GIN parameter trees; GAT attention has no sharded
+    implementation yet (scores over halo neighbours would need their own
+    exchange) — raises rather than silently running the wrong branch.
+
     ``return_stats`` (train only): also return the updated batch_stats tree
     (cross-shard psum statistics blended with torch momentum 0.1) so slide
     training tracks running BN stats — reference SyncBatchNorm analog."""
+    if cfg.gcn_name == "GAT":
+        raise NotImplementedError(
+            "MegaCGCNet supports SAGE/GIN; sharded GAT attention would need "
+            "its own halo score exchange"
+        )
     params = variables["params"]
     stats = variables.get("batch_stats", {})
     d1, d2 = cfg.assign_dims

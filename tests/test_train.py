@@ -174,3 +174,25 @@ def test_resume_restores_exactly(trained):
     # eval-only resume from best must reproduce the trained accuracy
     final2 = main(overrides + ["train.resume=best", "--eval-only"])
     assert final2["patch_acc"] >= 0.85
+
+
+def test_crossval_driver_runs(tmp_path):
+    """3-fold cross-validation driver aggregates per-fold results."""
+    from cgcnet_tpu.cli.crossval import main as cv_main
+    from cgcnet_tpu.dataflow.synthetic import generate_dataset
+
+    root = tmp_path / "cvdata"
+    generate_dataset(
+        str(root), patches_per_image=2, images_per_grade=1,
+        n_nodes=(80, 140), seed=9,
+    )
+    out = cv_main([
+        f"data.root={root}", "data.max_num_nodes=160", "data.sample_ratio=1.0",
+        "data.batch_size=3", "data.num_workers=1",
+        "model.hidden_dim=8", "model.embedding_dim=8",
+        "model.assign_hidden_dim=8", "model.drop_out=0.0",
+        "train.num_epochs=1", "train.eval_every_batches=0",
+        f"train.ckpt_dir={tmp_path/'cvruns'}", "train.log_every=100",
+    ])
+    assert set(out["folds"]) == {1, 2, 3}
+    assert 0.0 <= out["mean"]["img_acc"] <= 1.0
