@@ -38,10 +38,11 @@ def bench_fn(fn, args, iters=30, warmup=2):
     return (time.perf_counter() - t0) / iters
 
 
-def bench_device_loop(step, x0, iters=100):
+def bench_device_loop(step, x0, iters=100, reps=3):
     """Device time per iteration: chain ``iters`` dependent applications of
     ``step`` inside ONE jitted call (lax.fori_loop), so host/tunnel dispatch
-    latency is excluded. ``step`` must map x -> x-like."""
+    latency is excluded. ``step`` must map x -> x-like. Best of ``reps``
+    timed runs — the tunnel relay adds large run-to-run variance."""
     import jax
 
     @jax.jit
@@ -49,9 +50,12 @@ def bench_device_loop(step, x0, iters=100):
         return jax.lax.fori_loop(0, iters, lambda i, xx: step(xx), x)
 
     jax.block_until_ready(many(x0))  # compile + warm
-    t0 = time.perf_counter()
-    jax.block_until_ready(many(x0))
-    return (time.perf_counter() - t0) / iters
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        jax.block_until_ready(many(x0))
+        best = min(best, time.perf_counter() - t0)
+    return best / iters
 
 
 def enable_compile_cache() -> None:
@@ -117,7 +121,7 @@ def main() -> None:
         val, grad = jax.value_and_grad(loss)(xx)
         return xx + 1e-12 * grad
 
-    t_dense = bench_device_loop(dense_step, x, iters=20)
+    t_dense = bench_device_loop(dense_step, x, iters=40)
 
     edges_per_s = edges / t_sparse
     vs_baseline = t_dense / t_sparse
@@ -147,9 +151,11 @@ def main() -> None:
                 )
 
             jax.block_until_ready(many_steps(state))
-            t0 = time.perf_counter()
-            jax.block_until_ready(many_steps(state))
-            t_step = (time.perf_counter() - t0) / iters
+            t_step = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                jax.block_until_ready(many_steps(state))
+                t_step = min(t_step, (time.perf_counter() - t0) / iters)
             print(
                 f"train_step[{dtype}]: {t_step*1e3:.1f} ms/step  "
                 f"({4/t_step:.1f} patches/s, B=4 N={N})",
