@@ -196,3 +196,34 @@ def test_crossval_driver_runs(tmp_path):
     ])
     assert set(out["folds"]) == {1, 2, 3}
     assert 0.0 <= out["mean"]["img_acc"] <= 1.0
+
+
+def test_mid_epoch_validation_and_best_ckpt(tmp_path):
+    """eval_every_batches > 0: mid-epoch val records stream to JSONL and the
+    best checkpoint is written (reference train.py:185-207 behaviour)."""
+    import json as _json
+
+    from cgcnet_tpu.cli.train import main
+    from cgcnet_tpu.dataflow.synthetic import generate_dataset
+
+    root = tmp_path / "mv"
+    generate_dataset(
+        str(root), patches_per_image=2, images_per_grade=1,
+        n_nodes=(80, 140), seed=4,
+    )
+    main([
+        f"data.root={root}", "data.max_num_nodes=160", "data.sample_ratio=1.0",
+        "data.batch_size=2", "data.num_workers=1",
+        "model.hidden_dim=8", "model.embedding_dim=8",
+        "model.assign_hidden_dim=8", "model.drop_out=0.0",
+        "train.num_epochs=1", "train.eval_every_batches=2",
+        f"train.ckpt_dir={tmp_path/'runs'}", "train.log_every=100",
+    ])
+    runs = list((tmp_path / "runs").glob("*/metrics.jsonl"))
+    assert runs
+    records = [_json.loads(l) for l in runs[0].read_text().splitlines()]
+    vals = [r for r in records if r.get("kind") == "val"]
+    # 6 train patches / batch 2 = 3 batches -> at least one mid-epoch val
+    # plus the end-of-epoch one
+    assert len(vals) >= 2
+    assert (runs[0].parent / "model_best.msgpack").exists()
