@@ -386,14 +386,20 @@ def collate(
     return batch
 
 
-def attach_bsr_meta(batch: dict, bsr_blocks: int) -> None:
+def attach_bsr_meta(
+    batch: dict, bsr_blocks: int, quantize: bool = True
+) -> None:
     """Add block-sparse metadata to a collated batch, in place.
 
     Quantized per-batch block capacity — PER DIRECTION: the transpose
     (in-edge) lists typically touch more column tiles than the forward
     lists, and kernel DMA cost scales with the cap. Tight metadata with a
     bounded set of compiled shapes; ``bsr_blocks`` is the ceiling — beyond
-    it, the batch carries no metadata and the model uses XLA gathers."""
+    it, the batch carries no metadata and the model uses XLA gathers.
+
+    ``quantize=False`` uses exactly ``bsr_blocks`` slots and RAISES on
+    overflow — required when multiple processes each build a shard of one
+    global batch and must agree on every shape (multi-host loading)."""
     if native.available():
         bsr_block_meta = native.bsr_block_meta
         bsr_blocks_needed = native.bsr_blocks_needed
@@ -412,7 +418,15 @@ def attach_bsr_meta(batch: dict, bsr_blocks: int) -> None:
             bsr_blocks_needed(batch[src][bi], batch[msk][bi])
             for bi in range(nb)
         )
-        cap = next((c for c in (4, 6, 8, 12, 16) if c >= need), None)
+        if quantize:
+            cap = next((c for c in (4, 6, 8, 12, 16) if c >= need), None)
+        else:
+            cap = bsr_blocks
+            if need > cap:
+                raise ValueError(
+                    f"BSR needs {need} blocks/row-tile > fixed cap {cap} "
+                    "(raise data.bsr_blocks for multi-host loading)"
+                )
         if cap is None or cap > max(bsr_blocks, 4):
             import warnings
 

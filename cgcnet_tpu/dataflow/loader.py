@@ -22,11 +22,24 @@ import numpy as np
 import jax
 
 from cgcnet_tpu.core.graph import CellGraph
-from cgcnet_tpu.dataflow.dataset import NucleiGraphDataset, collate
+from cgcnet_tpu.dataflow.dataset import (
+    NucleiGraphDataset,
+    attach_bsr_meta,
+    collate,
+)
 
 
-def batch_to_cellgraph(batch: dict, device=None, sharding=None) -> CellGraph:
-    put = lambda a: jax.device_put(a, sharding or device)
+def batch_to_cellgraph(
+    batch: dict, device=None, sharding=None, process_local: bool = False
+) -> CellGraph:
+    """Device-put a collated batch. ``process_local``: the dict holds only
+    this process's slice of the global batch — assemble the global arrays
+    from per-process shards (multi-host data loading; each host reads only
+    its own patches)."""
+    if process_local:
+        put = lambda a: jax.make_array_from_process_local_data(sharding, a)
+    else:
+        put = lambda a: jax.device_put(a, sharding or device)
     opt = lambda k: put(batch[k]) if k in batch else None
     return CellGraph(
         x=put(batch["x"]),
@@ -60,6 +73,7 @@ class GraphLoader:
         sharding=None,
         dynamic_buckets: bool = False,
         bsr_blocks: int | None = None,
+        process_shard: bool = False,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -69,6 +83,20 @@ class GraphLoader:
         self.drop_last = drop_last
         self.seed = seed
         self.sharding = sharding
+        # Multi-host data loading: each process builds ONLY its slice of
+        # every global batch (the epoch order is a pure function of
+        # (seed, epoch), so all processes agree on the composition) and the
+        # global arrays are assembled from per-process shards. Requires a
+        # NamedSharding over the batch axis and batch_size divisible by the
+        # process count.
+        self.process_shard = process_shard
+        if process_shard:
+            assert sharding is not None, "process_shard needs a sharding"
+            assert batch_size % jax.process_count() == 0, (
+                batch_size, jax.process_count()
+            )
+            # a ragged final batch cannot be split evenly across processes
+            assert drop_last, "process_shard requires drop_last"
         # fixed capacity (reference-style) unless dynamic bucketing is on
         self.capacity = None if dynamic_buckets else dataset.capacity
         self.bsr_blocks = (
@@ -98,10 +126,14 @@ class GraphLoader:
         ]
 
         fast = self.dataset.supports_fast_path() and self.capacity is not None
+        quantize_meta = not self.process_shard
 
         def build_slow(idxs):
             samples = [self.dataset.get(int(i), epoch) for i in idxs]
-            return collate(samples, self.capacity, self.bsr_blocks)
+            batch = collate(samples, self.capacity, 0)
+            if self.bsr_blocks > 0:
+                attach_bsr_meta(batch, self.bsr_blocks, quantize_meta)
+            return batch
 
         def build(idxs):
             # whole batch per task: sample gets AND collate run inside the
@@ -131,6 +163,12 @@ class GraphLoader:
                     batch["nbr_t"][bi], batch["nbr_t_mask"][bi],
                 )
                 if n < 0:
+                    if self.process_shard:
+                        raise RuntimeError(
+                            "transpose width overflow in process-sharded "
+                            "loading; raise dataset.transpose_width so all "
+                            "hosts agree on shapes"
+                        )
                     # transpose width overflow: numpy path widens this
                     # batch; widen the dataset's nominal width so later
                     # batches stay on the fast path (benign worker race)
@@ -139,10 +177,14 @@ class GraphLoader:
                 batch["n_nodes"][bi] = n
                 batch["y"][bi] = y
             if self.bsr_blocks > 0:
-                from cgcnet_tpu.dataflow.dataset import attach_bsr_meta
-
-                attach_bsr_meta(batch, self.bsr_blocks)
+                attach_bsr_meta(batch, self.bsr_blocks, quantize_meta)
             return batch
+
+        if self.process_shard:
+            # build only this process's rows of each global batch
+            pid, nproc = jax.process_index(), jax.process_count()
+            per = self.batch_size // nproc
+            batches = [b[pid * per : (pid + 1) * per] for b in batches]
 
         window = max(self.num_workers, self.prefetch + 1)
         with ThreadPoolExecutor(self.num_workers) as ex:
@@ -154,5 +196,7 @@ class GraphLoader:
                     submitted += 1
                 # (the final batch may be smaller; jit caches one extra shape)
                 yield batch_to_cellgraph(
-                    futs.popleft().result(), sharding=self.sharding
+                    futs.popleft().result(),
+                    sharding=self.sharding,
+                    process_local=self.process_shard,
                 )

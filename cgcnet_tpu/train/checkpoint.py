@@ -28,8 +28,13 @@ def save_checkpoint(
     name: str = "weight",
 ) -> Path:
     ckpt_dir = Path(ckpt_dir)
-    ckpt_dir.mkdir(parents=True, exist_ok=True)
     path = ckpt_dir / f"{name}.msgpack"
+    # Multi-host: parameters/opt-state are replicated (DP), so exactly one
+    # process writes; jax.device_get of addressable replicas works on every
+    # host, and non-writers return the path they would have written.
+    if jax.process_index() != 0:
+        return path
+    ckpt_dir.mkdir(parents=True, exist_ok=True)
     host_state = jax.device_get(state)
     path.write_bytes(serialization.to_bytes(host_state))
     meta = {"epoch": epoch, "metrics": metrics or {}}

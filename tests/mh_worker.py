@@ -66,5 +66,66 @@ def main() -> None:
     print(f"RESULT {pid} loss={loss:.6f} leafsum={float(np.sum(leaf)):.6f}", flush=True)
 
 
+def loader_scenario(pid: int, nproc: int, port: str, root: str) -> None:
+    """Process-sharded data loading: each process builds only its slice of
+    every global batch; one DP step on the assembled global batch must agree
+    across processes, and the checkpoint is written by process 0 only."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_num_cpu_devices", 2)
+    jax.distributed.initialize(
+        f"localhost:{port}", num_processes=nproc, process_id=pid
+    )
+    import numpy as np
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    import os, sys
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from cgcnet_tpu.config import Config
+    from cgcnet_tpu.dataflow.dataset import NucleiGraphDataset
+    from cgcnet_tpu.dataflow.loader import GraphLoader
+    from cgcnet_tpu.train.checkpoint import save_checkpoint
+    from cgcnet_tpu.train.loop import make_train_step
+    from cgcnet_tpu.train.optim import make_optimizer
+    from cgcnet_tpu.train.state import create_train_state
+
+    cfg = Config().apply_overrides([
+        f"data.root={root}", "data.max_num_nodes=256", "data.sample_ratio=1.0",
+        "data.num_workers=1", "model.max_num_nodes=256",
+        "model.hidden_dim=8", "model.embedding_dim=8",
+        "model.assign_hidden_dim=8", "model.drop_out=0.0",
+        "model.use_pallas=never",
+    ])
+    mesh = jax.make_mesh(
+        (jax.device_count(),), ("data",),
+        axis_types=(jax.sharding.AxisType.Auto,),
+    )
+    bspec = NamedSharding(mesh, P("data"))
+    ds = NucleiGraphDataset(cfg.data, "train")
+    loader = GraphLoader(
+        ds, 4, shuffle=True, num_workers=1, seed=7, drop_last=True,
+        sharding=bspec, process_shard=True,
+    )
+    graph = next(iter(loader.epoch(0)))
+    tx = make_optimizer(cfg.train, steps_per_epoch=1)
+    model, state = create_train_state(cfg, tx, graph)
+    rspec = NamedSharding(mesh, P())
+    state = jax.tree.map(lambda a: jax.device_put(a, rspec), state)
+    step_fn = make_train_step(model)
+    new_state, metrics = jax.jit(lambda s, g: step_fn(s, g, tx))(state, graph)
+    loss = float(jax.device_get(metrics["loss"]))
+    path = save_checkpoint(
+        os.path.join(root, "mh_ckpt"), jax.device_get(new_state.params),
+        epoch=0,
+    )
+    wrote = os.path.exists(path)
+    print(f"LOADER {pid} loss={loss:.6f} wrote={int(wrote)}", flush=True)
+
+
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 4:
+        loader_scenario(int(sys.argv[1]), int(sys.argv[2]), sys.argv[3],
+                        sys.argv[4])
+    else:
+        main()

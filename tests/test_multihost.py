@@ -76,3 +76,69 @@ def test_two_process_dp_step_matches_single():
     np.testing.assert_allclose(
         results[0][0], float(metrics["loss"]), atol=1e-5
     )
+
+
+@pytest.mark.slow
+def test_process_sharded_loader_and_checkpoint(tmp_path):
+    """Each process loads only its slice of every global batch; the step
+    agrees across processes and with a single-process loader over the same
+    data; only process 0 writes the checkpoint."""
+    from cgcnet_tpu.dataflow.synthetic import generate_dataset
+
+    root = tmp_path / "mhdata"
+    generate_dataset(
+        str(root), patches_per_image=3, images_per_grade=1,
+        n_nodes=(100, 200), seed=11,
+    )
+    port = _free_port()
+    worker = Path(__file__).parent / "mh_worker.py"
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(worker), str(i), "2", str(port), str(root)],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+            env={"PATH": "/usr/bin:/bin", "JAX_PLATFORMS": "cpu",
+                 "HOME": "/root"},
+        )
+        for i in range(2)
+    ]
+    results = {}
+    for p in procs:
+        out, _ = p.communicate(timeout=300)
+        text = out.decode()
+        assert p.returncode == 0, text[-2000:]
+        m = re.search(r"LOADER (\d) loss=([-\d.]+) wrote=(\d)", text)
+        assert m, text[-2000:]
+        results[int(m.group(1))] = (float(m.group(2)), int(m.group(3)))
+    assert set(results) == {0, 1}
+    np.testing.assert_allclose(results[0][0], results[1][0], atol=1e-6)
+    # only process 0 wrote the checkpoint file
+    assert results[0][1] == 1 and results[1][1] == 0
+
+    # single-process oracle: full loader over the same data, same batch
+    sys.path.insert(0, str(Path(__file__).parent.parent))
+    from cgcnet_tpu.config import Config
+    from cgcnet_tpu.dataflow.dataset import NucleiGraphDataset
+    from cgcnet_tpu.dataflow.loader import GraphLoader
+    from cgcnet_tpu.train.loop import make_train_step
+    from cgcnet_tpu.train.optim import make_optimizer
+    from cgcnet_tpu.train.state import create_train_state
+
+    cfg = Config().apply_overrides([
+        f"data.root={root}", "data.max_num_nodes=256", "data.sample_ratio=1.0",
+        "data.num_workers=1", "model.max_num_nodes=256",
+        "model.hidden_dim=8", "model.embedding_dim=8",
+        "model.assign_hidden_dim=8", "model.drop_out=0.0",
+        "model.use_pallas=never",
+    ])
+    ds = NucleiGraphDataset(cfg.data, "train")
+    loader = GraphLoader(ds, 4, shuffle=True, num_workers=1, seed=7,
+                         drop_last=True)
+    graph = next(iter(loader.epoch(0)))
+    tx = make_optimizer(cfg.train, steps_per_epoch=1)
+    model, state = create_train_state(cfg, tx, graph)
+    step_fn = make_train_step(model)
+    _, metrics = jax.jit(lambda s, g: step_fn(s, g, tx))(state, graph)
+    np.testing.assert_allclose(
+        results[0][0], float(metrics["loss"]), atol=1e-5
+    )
