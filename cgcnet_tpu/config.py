@@ -64,6 +64,17 @@ class ModelConfig:
     # 'auto' = on TPU backends when the batch carries BSR metadata,
     # 'always' / 'never' force it (bool accepted as always/never).
     use_pallas: str | bool = "auto"
+    # Fold the pooling blocks' bn3 affine into the concat-lin kernel
+    # (nn/blocks.py::GNNBlock.finish_folded): the 1140-wide assign head never
+    # materializes its BN output or concat. Identical math up to fp
+    # reassociation; set False to run the literal reference op order.
+    fold_assign_tail: bool = True
+    # Fuse the stage-1 assign tail (folded-lin matmul + softmax + mask) into
+    # one Pallas pass emitting S in both consumer layouts
+    # (ops/pallas/assign_head.py). 'auto' = whenever the Pallas BSR path is
+    # active and the node capacity tiles by 128; 'always' forces it (CPU
+    # tests use interpret mode); 'never' disables. Requires fold_assign_tail.
+    fused_assign_softmax: str | bool = "auto"
 
     @property
     def assign_dims(self) -> tuple[int, int]:

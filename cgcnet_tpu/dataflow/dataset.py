@@ -116,6 +116,7 @@ class NucleiGraphDataset:
         # ~1.4 GB — caching removes npz/zip parsing from the hot loop
         # (cfg.cache_protos; thread-safe via setdefault's atomicity)
         self._proto_cache: dict[str, object] = {}
+        self._node_counts: dict[int, int] = {}
         if use_reference_stats:
             self.mean, self.std = stats_mod.reference_stats(
                 cfg.cross_val, cfg.feature_type
@@ -210,6 +211,29 @@ class NucleiGraphDataset:
                 name, load_proto(self.cfg.root, name, self.cfg.dataset)
             )
         return proto
+
+    def sampled_count(self, idx: int, epoch: int) -> int:
+        """Node count of the graph ``get``/``fill_into`` would build for
+        (idx, epoch) — computable without building it, so the loader can
+        size dynamic per-batch capacity buckets up front."""
+        cfg = self.cfg
+        n = self._node_counts.get(idx)
+        if n is None:
+            n = self._node_counts.setdefault(
+                idx, int(self._load_proto(self.names[idx]).num_nodes)
+            )
+        if self.full_graph:
+            return min(n, self.capacity)
+        if cfg.use_fixed:
+            from cgcnet_tpu.dataflow.fixed_epochs import load_fixed_choice
+
+            choice = load_fixed_choice(
+                cfg, self.names[idx], epoch % cfg.num_fixed_epochs
+            )
+            return min(len(choice) if choice is not None else n, self.capacity)
+        if cfg.sample_ratio < 1.0 and n >= cfg.min_nodes_no_subsample:
+            return min(int(n * cfg.sample_ratio), self.capacity)
+        return min(n, self.capacity)
 
     def supports_fast_path(self) -> bool:
         """One-call native batch building (loader fast path): knn graphs with

@@ -97,6 +97,11 @@ class GraphLoader:
             )
             # a ragged final batch cannot be split evenly across processes
             assert drop_last, "process_shard requires drop_last"
+            # bucket capacity would be computed from each process's local
+            # slice and diverge across hosts
+            assert not dynamic_buckets, (
+                "process_shard requires a fixed node capacity"
+            )
         # fixed capacity (reference-style) unless dynamic bucketing is on
         self.capacity = None if dynamic_buckets else dataset.capacity
         self.bsr_blocks = (
@@ -125,7 +130,7 @@ class GraphLoader:
             for i in range(0, len(order), self.batch_size)
         ]
 
-        fast = self.dataset.supports_fast_path() and self.capacity is not None
+        fast = self.dataset.supports_fast_path()
         quantize_meta = not self.process_shard
 
         def build_slow(idxs):
@@ -135,6 +140,18 @@ class GraphLoader:
                 attach_bsr_meta(batch, self.bsr_blocks, quantize_meta)
             return batch
 
+        def bucket_capacity(idxs):
+            # dynamic buckets: 128 * next power of two over the batch's
+            # sampled node counts (same quantization as collate, so the fast
+            # and numpy paths produce identical shapes)
+            need = max(
+                self.dataset.sampled_count(int(i), epoch) for i in idxs
+            )
+            cap = 128
+            while cap < need:
+                cap *= 2
+            return cap
+
         def build(idxs):
             # whole batch per task: sample gets AND collate run inside the
             # worker, so the consumer thread only does device_put. Fast
@@ -143,7 +160,8 @@ class GraphLoader:
             if not fast:
                 return build_slow(idxs)
             ds = self.dataset
-            b, cap = len(idxs), self.capacity
+            b = len(idxs)
+            cap = self.capacity or bucket_capacity(idxs)
             k, kt = ds.cfg.max_neighbours, ds.transpose_width
             f = {"c": 2, "a": 16, "ca": 18}[ds.cfg.feature_type]
             batch = {

@@ -15,7 +15,7 @@ from cgcnet_tpu.nn.layers import (
     GINConv,
     SAGEConv,
     TorchBatchNorm,
-    TorchLinear,
+    TorchLinearStatic,
     activation,
 )
 
@@ -43,6 +43,11 @@ class GNNBlock(fnn.Module):
     act: str = "relu"
     masked_bn: bool = True
     gat_heads: int = 1
+    # Fold bn3's affine into the lin kernel (mathematically identical up to
+    # fp reassociation) — the 1140-wide assign head never materializes the
+    # BN output or the [.., 2h+C] concat. Only takes effect with
+    # use_lin and use_bn.
+    fold_tail: bool = False
 
     def setup(self):
         # setup(): names come from the attribute names (param-tree layout
@@ -64,7 +69,10 @@ class GNNBlock(fnn.Module):
             self.bn2 = TorchBatchNorm(self.hidden_dim)
             self.bn3 = TorchBatchNorm(self.embedding_dim)
         if self.use_lin:
-            self.lin = TorchLinear(self.embedding_dim)
+            self.lin = TorchLinearStatic(
+                in_features=2 * self.hidden_dim + self.embedding_dim,
+                features=self.embedding_dim,
+            )
 
     # ------------------------------------------------------------------
     def conv_step(
@@ -76,17 +84,81 @@ class GNNBlock(fnn.Module):
         *,
         train: bool = False,
         agg: Optional[jax.Array] = None,
+        apply_bn: bool = True,
     ) -> jax.Array:
         """conv_i -> activation -> bn_i. ``agg`` optionally supplies the
-        precomputed neighbourhood aggregation A @ x."""
+        precomputed neighbourhood aggregation A @ x. ``apply_bn=False``
+        returns the pre-BN activation (the folded tail consumes it)."""
         conv = (self.gcn1, self.gcn2, self.gcn3)[i - 1]
         h = conv(x, adj, mask, agg=agg)
         h = activation(self.act)(h)
-        if self.use_bn:
+        if self.use_bn and apply_bn:
             bn = (self.bn1, self.bn2, self.bn3)[i - 1]
             bn_mask = mask if self.masked_bn else None
             h = bn(h, use_running_average=not train, mask=bn_mask)
         return h
+
+    @property
+    def folds_tail(self) -> bool:
+        return self.fold_tail and self.use_lin and self.use_bn
+
+    def finish_folded(
+        self,
+        x1: jax.Array,
+        x2: jax.Array,
+        h3a: jax.Array,
+        mask: Optional[jax.Array],
+        *,
+        train: bool = False,
+        fused_softmax: bool = False,
+    ) -> jax.Array | tuple[jax.Array, jax.Array]:
+        """``bn3 -> concat -> mask -> lin -> mask`` with the BN affine folded
+        into the lin kernel.
+
+        ``h3a`` is conv3's pre-BN activation (already masked by the conv).
+        Algebra: lin(concat(x1, x2, (h3a - mu)*inv + beta)) * mask
+               = (concat(x1, x2) @ K12 + h3a @ (inv*K3)
+                  + ((beta - mu*inv) @ K3 + bias)) * mask
+        — identical up to fp reassociation, but the [B, N, C3] BN output and
+        the [B, N, 2h+C3] concat never exist, forward or backward. BN batch
+        statistics and running-stat updates are unchanged (``moments``).
+        Padded rows: x1/x2/h3a are zero there, so only the constant term
+        leaks — killed by the final mask, exactly like ``finish``'s
+        mask-before-lin zeroing of the BN output.
+        """
+        bn_mask = mask if self.masked_bn else None
+        mean, var = self.bn3.moments(
+            h3a, use_running_average=not train, mask=bn_mask
+        )
+        inv, shift = self.bn3.folded_affine(mean, var)      # f32 [C3]
+        split = x1.shape[-1] + x2.shape[-1]
+        k = self.lin.kernel                                  # f32 [2h+C3, C]
+        k12, k3 = k[:split], k[split:]
+        k3f = inv[:, None] * k3
+        const = shift @ k3 + (
+            self.lin.bias_p if self.lin.bias_p is not None else 0.0
+        )
+        dt = h3a.dtype
+        x12 = jnp.concatenate([x1, x2], axis=-1)
+        if fused_softmax:
+            # one Pallas pass: matmul + softmax + mask, S emitted in both
+            # consumer layouts — returns (S, S^T) instead of logits
+            from cgcnet_tpu.ops.pallas.assign_head import assign_head_softmax
+
+            m = (
+                mask.astype(dt)
+                if mask is not None
+                else jnp.ones(h3a.shape[:2], dt)
+            )
+            return assign_head_softmax(x12, h3a, k12, k3f, const, m)
+        out = (
+            x12 @ k12.astype(dt)
+            + h3a @ k3f.astype(dt)
+            + const.astype(dt)
+        )
+        if mask is not None:
+            out = out * mask[..., None].astype(dt)
+        return out
 
     def finish(
         self, xs: list[jax.Array], mask: Optional[jax.Array]
@@ -108,9 +180,12 @@ class GNNBlock(fnn.Module):
         *,
         train: bool = False,
     ) -> jax.Array:
+        fold = self.folds_tail
         x1 = self.conv_step(1, x, adj, mask, train=train)
         x2 = self.conv_step(2, x1, adj, mask, train=train)
-        x3 = self.conv_step(3, x2, adj, mask, train=train)
+        x3 = self.conv_step(3, x2, adj, mask, train=train, apply_bn=not fold)
+        if fold:
+            return self.finish_folded(x1, x2, x3, mask, train=train)
         return self.finish([x1, x2, x3], mask)
 
 
@@ -122,7 +197,8 @@ def paired_blocks(
     mask: Optional[jax.Array],
     *,
     train: bool = False,
-) -> tuple[jax.Array, jax.Array]:
+    pool_softmax: bool = False,
+) -> tuple[jax.Array, jax.Array | tuple[jax.Array, jax.Array]]:
     """Run an (embed, pool) block pair over one shared aggregation stream.
 
     Layer 1 reads the same input — one A@x serves both; layers 2-3
@@ -133,11 +209,21 @@ def paired_blocks(
     Attention convolutions (GAT) cannot share an aggregation — the blocks
     run independently there.
     """
+    assert not (pool_softmax and not pool_blk.folds_tail)
     if "GAT" in (embed_blk.gcn_name, pool_blk.gcn_name):
-        return (
-            embed_blk(x, adj, mask, train=train),
-            pool_blk(x, adj, mask, train=train),
-        )
+        if pool_softmax:
+            x1 = pool_blk.conv_step(1, x, adj, mask, train=train)
+            x2 = pool_blk.conv_step(2, x1, adj, mask, train=train)
+            x3 = pool_blk.conv_step(
+                3, x2, adj, mask, train=train, apply_bn=False
+            )
+            pool_out = pool_blk.finish_folded(
+                x1, x2, x3, mask, train=train, fused_softmax=True
+            )
+        else:
+            pool_out = pool_blk(x, adj, mask, train=train)
+        return embed_blk(x, adj, mask, train=train), pool_out
+    fold_p = pool_blk.folds_tail
     agg1 = adj.matvec(x)
     e = embed_blk.conv_step(1, x, adj, mask, train=train, agg=agg1)
     p = pool_blk.conv_step(1, x, adj, mask, train=train, agg=agg1)
@@ -152,9 +238,19 @@ def paired_blocks(
             embed_blk.conv_step(i, he, adj, mask, train=train, agg=agg_e)
         )
         p_outs.append(
-            pool_blk.conv_step(i, hp, adj, mask, train=train, agg=agg_p)
+            pool_blk.conv_step(
+                i, hp, adj, mask, train=train, agg=agg_p,
+                apply_bn=(i != 3 or not fold_p),
+            )
         )
-    return embed_blk.finish(e_outs, mask), pool_blk.finish(p_outs, mask)
+    pool_out = (
+        pool_blk.finish_folded(
+            *p_outs, mask, train=train, fused_softmax=pool_softmax
+        )
+        if fold_p
+        else pool_blk.finish(p_outs, mask)
+    )
+    return embed_blk.finish(e_outs, mask), pool_out
 
 
 def diff_pool(
@@ -181,3 +277,22 @@ def diff_pool(
     pooled_x = jnp.einsum("bnc,bnf->bcf", s, x, preferred_element_type=x.dtype)
     pooled_adj = adj.quadform(s)
     return pooled_x, pooled_adj, s
+
+
+def diff_pool_from_s(
+    x: jax.Array,
+    adj: Adjacency,
+    s: jax.Array,    # [B, N, C]
+    s_t: jax.Array,  # [B, C, N] (same values — kernel-emitted transpose)
+) -> tuple[jax.Array, jax.Array]:
+    """DiffPool contractions for a precomputed dual-layout S (the fused
+    assign-head path): the S^T operands come pre-transposed so XLA inserts
+    no relayout copies."""
+    pooled_x = jnp.einsum(
+        "bcn,bnf->bcf", s_t, x, preferred_element_type=x.dtype
+    )
+    a_s = adj.matvec(s)
+    pooled_adj = jnp.einsum(
+        "bcn,bnd->bcd", s_t, a_s, preferred_element_type=s.dtype
+    )
+    return pooled_x, pooled_adj

@@ -230,6 +230,32 @@ class GATConv(fnn.Module):
         return out
 
 
+class TorchLinearStatic(fnn.Module):
+    """`TorchLinear` with a statically declared fan-in: params live in
+    ``setup`` so callers can read ``.kernel`` / ``.bias_p`` directly (the
+    folded assign-tail scales the kernel by the BN affine — nn/blocks.py).
+    Identical init, param layout ("kernel"/"bias") and compute."""
+
+    in_features: int
+    features: int
+    use_bias: bool = True
+
+    def setup(self):
+        init = _torch_linear_init(self.in_features)
+        self.kernel = self.param(
+            "kernel", init, (self.in_features, self.features)
+        )
+        self.bias_p = (
+            self.param("bias", init, (self.features,)) if self.use_bias else None
+        )
+
+    def __call__(self, x: jax.Array) -> jax.Array:
+        y = x @ self.kernel.astype(x.dtype)
+        if self.bias_p is not None:
+            y = y + self.bias_p.astype(x.dtype)
+        return y
+
+
 class TorchBatchNorm(fnn.Module):
     """BatchNorm1d with torch semantics over a [..., C] input flattened to
     rows: biased variance for normalization, unbiased for the running-stat
@@ -239,53 +265,81 @@ class TorchBatchNorm(fnn.Module):
     to real nodes — the TPU build's fix for the reference's BN-over-padding
     quirk (model/network.py:101-107). Without a mask the quirk is reproduced
     exactly.
+
+    ``moments``/``folded_affine`` expose the normalization statistics without
+    applying them, so wide layers can fold the affine into a following
+    linear's kernel instead of materializing the normalized tensor
+    (nn/blocks.py::GNNBlock.finish_folded).
     """
 
     features: int
     momentum: float = 0.1
     eps: float = 1e-5
 
-    @fnn.compact
+    def setup(self):
+        self.scale_p = self.param(
+            "scale", fnn.initializers.ones, (self.features,)
+        )
+        self.bias_p = self.param(
+            "bias", fnn.initializers.zeros, (self.features,)
+        )
+        self.ra_mean = self.variable(
+            "batch_stats", "mean", lambda: jnp.zeros(self.features, jnp.float32)
+        )
+        self.ra_var = self.variable(
+            "batch_stats", "var", lambda: jnp.ones(self.features, jnp.float32)
+        )
+
+    def moments(
+        self,
+        x: jax.Array,
+        use_running_average: bool,
+        mask: Optional[jax.Array] = None,
+    ) -> tuple[jax.Array, jax.Array]:
+        """(mean[C], biased var[C]) used for normalization; updates running
+        stats in training mode exactly like ``__call__``."""
+        reduce_axes = tuple(range(x.ndim - 1))
+        if use_running_average:
+            return self.ra_mean.value, self.ra_var.value
+        xf = x.astype(jnp.float32)
+        if mask is None:
+            n = jnp.asarray(
+                jnp.prod(jnp.asarray(x.shape[:-1])), dtype=jnp.float32
+            )
+            mean = jnp.mean(xf, axis=reduce_axes)
+            var = jnp.mean(jnp.square(xf - mean), axis=reduce_axes)
+        else:
+            m = jnp.broadcast_to(
+                mask.astype(jnp.float32)[..., None], x.shape
+            )
+            n = jnp.maximum(jnp.sum(m) / self.features, 1.0)
+            mean = jnp.sum(xf * m, axis=reduce_axes) / n
+            var = jnp.sum(jnp.square(xf - mean) * m, axis=reduce_axes) / n
+        if not self.is_initializing():
+            unbiased = var * n / jnp.maximum(n - 1.0, 1.0)
+            self.ra_mean.value = (
+                (1.0 - self.momentum) * self.ra_mean.value + self.momentum * mean
+            )
+            self.ra_var.value = (
+                (1.0 - self.momentum) * self.ra_var.value
+                + self.momentum * unbiased
+            )
+        return mean, var
+
+    def folded_affine(
+        self, mean: jax.Array, var: jax.Array
+    ) -> tuple[jax.Array, jax.Array]:
+        """BN as x*inv + shift (f32): inv = rsqrt(var+eps)*scale,
+        shift = bias - mean*inv."""
+        inv = jax.lax.rsqrt(var + self.eps) * self.scale_p
+        return inv, self.bias_p - mean * inv
+
     def __call__(
         self,
         x: jax.Array,
         use_running_average: bool,
         mask: Optional[jax.Array] = None,
     ) -> jax.Array:
-        scale = self.param("scale", fnn.initializers.ones, (self.features,))
-        bias = self.param("bias", fnn.initializers.zeros, (self.features,))
-        ra_mean = self.variable(
-            "batch_stats", "mean", lambda: jnp.zeros(self.features, jnp.float32)
-        )
-        ra_var = self.variable(
-            "batch_stats", "var", lambda: jnp.ones(self.features, jnp.float32)
-        )
-
-        reduce_axes = tuple(range(x.ndim - 1))
-        if use_running_average:
-            mean, var = ra_mean.value, ra_var.value
-        else:
-            xf = x.astype(jnp.float32)
-            if mask is None:
-                n = jnp.asarray(
-                    jnp.prod(jnp.asarray(x.shape[:-1])), dtype=jnp.float32
-                )
-                mean = jnp.mean(xf, axis=reduce_axes)
-                var = jnp.mean(jnp.square(xf - mean), axis=reduce_axes)
-            else:
-                m = jnp.broadcast_to(
-                    mask.astype(jnp.float32)[..., None], x.shape
-                )
-                n = jnp.maximum(jnp.sum(m) / self.features, 1.0)
-                mean = jnp.sum(xf * m, axis=reduce_axes) / n
-                var = jnp.sum(jnp.square(xf - mean) * m, axis=reduce_axes) / n
-            if not self.is_initializing():
-                unbiased = var * n / jnp.maximum(n - 1.0, 1.0)
-                ra_mean.value = (
-                    (1.0 - self.momentum) * ra_mean.value + self.momentum * mean
-                )
-                ra_var.value = (
-                    (1.0 - self.momentum) * ra_var.value + self.momentum * unbiased
-                )
-        inv = jax.lax.rsqrt(var + self.eps) * scale
-        return ((x - mean) * inv + bias).astype(x.dtype)
+        mean, var = self.moments(x, use_running_average, mask)
+        inv = jax.lax.rsqrt(var + self.eps) * self.scale_p
+        return ((x - mean) * inv + self.bias_p).astype(x.dtype)

@@ -23,7 +23,12 @@ from flax import linen as fnn
 from cgcnet_tpu.config import ModelConfig
 from cgcnet_tpu.core.graph import CellGraph
 from cgcnet_tpu.nn.adjacency import DenseAdj, EllAdj, EllAdjFactored
-from cgcnet_tpu.nn.blocks import GNNBlock, diff_pool, paired_blocks
+from cgcnet_tpu.nn.blocks import (
+    GNNBlock,
+    diff_pool,
+    diff_pool_from_s,
+    paired_blocks,
+)
 from cgcnet_tpu.nn.jk import DenseJK
 from cgcnet_tpu.nn.layers import TorchLinear, activation
 from cgcnet_tpu.ops.ell import EPS, renorm_dense, renorm_ell
@@ -150,6 +155,7 @@ class CGCNet(fnn.Module):
             act=c.activation,
             masked_bn=c.masked_bn,
             gat_heads=c.gat_heads,
+            fold_tail=c.fold_assign_tail,
             name=name,
         )
 
@@ -171,19 +177,31 @@ class CGCNet(fnn.Module):
         # ---- stage 1: sparse ELL ----
         adj = make_stage1_adj(graph, c, dtype)
 
+        # fused assign softmax: one Pallas pass computes S in both consumer
+        # layouts (ops/pallas/assign_head.py) — engaged alongside the BSR
+        # kernel ('auto') when shapes tile by 128
+        fsm = c.fused_assign_softmax
+        if fsm == "auto":
+            fsm = adj.impl == "pallas"
+        fsm = bool(fsm) and c.fold_assign_tail and graph.capacity % 128 == 0
+
         outs = []
         # embed/pool pairs share one aggregation stream per layer (halves the
         # sparse-kernel launches; per-block math is unchanged)
-        embed, assign_logits = paired_blocks(
+        embed, assign_out = paired_blocks(
             self._block("embed1", c.embedding_dim, lin=False),
             self._block("pool1", assign_dim1, lin=True),
-            x, adj, mask, train=train,
+            x, adj, mask, train=train, pool_softmax=fsm,
         )
         if c.jk:
             embed = DenseJK(c.hidden_dim, 3, name="jk1")(embed)
         outs.append(masked_max_readout(embed, mask, c.masked_readout))
 
-        x, pooled_adj, s = diff_pool(embed, adj, assign_logits, mask)
+        if fsm:
+            s, s_t = assign_out
+            x, pooled_adj = diff_pool_from_s(embed, adj, s, s_t)
+        else:
+            x, pooled_adj, s = diff_pool(embed, adj, assign_out, mask)
         if collect_assign:
             assigns.append(s)
 

@@ -142,6 +142,78 @@ def _bn(p, stats, h, valid, axis, train: bool):
     return out, upd
 
 
+def _gat_conv(gp, h, agg, valid, cfg: ModelConfig):
+    """Multi-head dot-product attention conv over sharded or dense cluster
+    nodes — the functional twin of nn.layers.GATConv (same params q/k/v,
+    same f32 softmax over [self ++ slots]).
+
+    Sharded (``agg`` is _ShardedAdj): k/v are computed locally, halo-exchanged
+    like any stage-1 feature tensor, and neighbour rows gathered through the
+    remapped ELL lists — the "own halo score exchange" the forward previously
+    refused to fake.
+    Dense (``agg`` carries .dense_adj): full score matrix masked by adjacency
+    support, exactly like GATConv's DenseAdj branch (unbatched).
+    """
+    heads = cfg.gat_heads
+    q = _linear(gp["q"], h)
+    k = _linear(gp["k"], h)
+    v = _linear(gp["v"], h)
+    feats = q.shape[-1]
+    assert feats % heads == 0, (feats, heads)
+    d = feats // heads
+    scale = 1.0 / (d ** 0.5)
+    n = h.shape[0]
+    neg = jnp.finfo(jnp.float32).min
+    if hasattr(agg, "concat_halo"):
+        nbr = agg.inp.nbr_remap                     # [N, K]
+        kk = nbr.shape[1]
+        gk = agg.concat_halo(k)[nbr]                # [N, K, F]
+        gv = agg.concat_halo(v)[nbr]
+        qh = q.reshape(n, heads, d)
+        e_nbr = jnp.einsum(
+            "nhd,nkhd->nkh", qh, gk.reshape(n, kk, heads, d),
+            preferred_element_type=jnp.float32,
+        )
+        e_self = jnp.einsum(
+            "nhd,nhd->nh", qh, k.reshape(n, heads, d),
+            preferred_element_type=jnp.float32,
+        )[:, None]
+        scores = (
+            jnp.concatenate([e_self, e_nbr], axis=1).astype(jnp.float32)
+            * scale
+        )
+        smask = jnp.concatenate(
+            [jnp.ones((n, 1), jnp.float32),
+             agg.off_mask.astype(jnp.float32)], -1
+        )[..., None]
+        scores = jnp.where(smask > 0, scores, neg)
+        m = jnp.max(scores, axis=1, keepdims=True)
+        ex = jnp.exp(scores - jax.lax.stop_gradient(m)) * smask
+        alpha = (ex / jnp.sum(ex, 1, keepdims=True)).astype(h.dtype)
+        out = (
+            alpha[:, 0, :, None] * v.reshape(n, heads, d)
+            + jnp.einsum(
+                "nkh,nkhd->nhd", alpha[:, 1:], gv.reshape(n, kk, heads, d),
+                preferred_element_type=h.dtype,
+            )
+        ).reshape(n, feats)
+    else:
+        aa = agg.dense_adj
+        logits = jnp.einsum(
+            "ihd,jhd->hij", q.reshape(n, heads, d), k.reshape(n, heads, d),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        support = (aa > 0)[None]
+        logits = jnp.where(support, logits.astype(jnp.float32), neg)
+        alpha = jax.nn.softmax(logits, axis=-1).astype(h.dtype)
+        alpha = alpha * (jnp.sum(aa, -1) > 0)[None, :, None].astype(h.dtype)
+        out = jnp.einsum(
+            "hij,jhd->ihd", alpha, v.reshape(n, heads, d),
+            preferred_element_type=h.dtype,
+        ).reshape(n, feats)
+    return out * valid[:, None]
+
+
 def _stage1_block(
     params, stats, name, x, agg, valid, cfg: ModelConfig, axis, train,
     lin: bool, stats_out: dict | None = None,
@@ -153,13 +225,16 @@ def _stage1_block(
     h = x
     for i in (1, 2, 3):
         gp = p[f"gcn{i}"]
-        ah = agg(h)
-        if cfg.gcn_name == "SAGE":
+        if cfg.gcn_name == "GAT":
+            out = _gat_conv(gp, h, agg, valid, cfg)
+        elif cfg.gcn_name == "SAGE":
+            ah = agg(h)
             denom = jnp.clip(agg.rowsum(), min=1.0)[:, None]
             out = _linear(gp["lin"], ah / denom)
             norm = jnp.linalg.norm(out, axis=-1, keepdims=True)
             out = out / jnp.maximum(norm, 1e-12)
         else:
+            ah = agg(h)
             out = _linear(gp["mlp_0"], ah)
             out = act(out)
             out = _linear(gp["mlp_1"], out)
@@ -261,15 +336,20 @@ class _ShardedAdj:
             self.self_w = 1.0
             self._rowsum = (deg + 1.0) * inputs.valid
 
+    def concat_halo(self, h):
+        """[Ns, F] -> [Ns + halo, F]: local rows followed by the exchanged
+        halo rows — the index space ``nbr_remap`` points into."""
+        halo = _halo_exchange(
+            h, self.inp.req_idx, self.inp.req_mask, self.axis
+        )
+        return jnp.concatenate([h, halo], 0)
+
     def __call__(self, h):
         nbr, w = self.inp.nbr_remap, self.off_mask
         if self.bsr:
             from cgcnet_tpu.ops.ell import bsr_local_matmul
 
-            halo = _halo_exchange(
-                h, self.inp.req_idx, self.inp.req_mask, self.axis
-            )
-            xx = jnp.concatenate([h, halo], 0)
+            xx = self.concat_halo(h)
             nc = self.inp.nbr_t.shape[0]
             if xx.shape[0] < nc:
                 xx = jnp.concatenate(
@@ -285,24 +365,18 @@ class _ShardedAdj:
             ns = h.shape[0]
             slot_local = jnp.where(self.inp.nbr_mask > 0, nbr, 0) < ns
             interior = jnp.all(slot_local, axis=-1)
-            halo = _halo_exchange(
-                h, self.inp.req_idx, self.inp.req_mask, self.axis
-            )
             out_int = ell_gather_sum(
                 jnp.minimum(nbr, ns - 1)[None],
                 (w * interior[:, None])[None],
                 h[None],
             )[0]
-            hh = jnp.concatenate([h, halo], 0)
+            hh = self.concat_halo(h)
             out_bnd = ell_gather_sum(
                 nbr[None], (w * (~interior)[:, None])[None], hh[None]
             )[0]
             agg = out_int + out_bnd
         else:
-            halo = _halo_exchange(
-                h, self.inp.req_idx, self.inp.req_mask, self.axis
-            )
-            hh = jnp.concatenate([h, halo], 0)
+            hh = self.concat_halo(h)
             agg = ell_gather_sum(nbr[None], w[None], hh[None])[0]
         return self.scale[:, None] * agg + self.self_w * h
 
@@ -325,18 +399,13 @@ def mega_forward(
     sharded over ``axis``. ``halo_overlap`` structures stage-1 aggregation
     for collective/compute overlap (MeshConfig.halo_overlap).
 
-    Supports SAGE/GIN parameter trees; GAT attention has no sharded
-    implementation yet (scores over halo neighbours would need their own
-    exchange) — raises rather than silently running the wrong branch.
+    Supports SAGE/GIN/GAT parameter trees; sharded GAT halo-exchanges the
+    k/v projections per convolution and scores neighbours through the
+    remapped ELL lists (``_gat_conv``).
 
     ``return_stats`` (train only): also return the updated batch_stats tree
     (cross-shard psum statistics blended with torch momentum 0.1) so slide
     training tracks running BN stats — reference SyncBatchNorm analog."""
-    if cfg.gcn_name == "GAT":
-        raise NotImplementedError(
-            "MegaCGCNet supports SAGE/GIN; sharded GAT attention would need "
-            "its own halo score exchange"
-        )
     params = variables["params"]
     stats = variables.get("batch_stats", {})
     d1, d2 = cfg.assign_dims
@@ -372,6 +441,8 @@ def mega_forward(
 
         def dense_stage(name, jk_name, xx, aa, lin_assign=None):
             class DenseAgg:
+                dense_adj = aa
+
                 def __call__(self, h):
                     return aa @ h
 
@@ -394,6 +465,8 @@ def mega_forward(
         ones = jnp.ones(x_pool.shape[0], x_pool.dtype)
 
         class DenseAgg2:
+            dense_adj = adj_pool
+
             def __call__(self, h):
                 return adj_pool @ h
 

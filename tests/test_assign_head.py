@@ -1,0 +1,127 @@
+"""Fused assign-head kernel (ops/pallas/assign_head) vs jnp oracle."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+import cgcnet_tpu.ops.pallas.assign_head as ah
+
+
+def oracle(x12, h3a, k12, k3f, const, mask):
+    """The unfused op order: folded-lin logits -> mask -> f32 softmax -> mask
+    (GNNBlock.finish_folded + nn.blocks.diff_pool)."""
+    dt = h3a.dtype
+    logits = x12 @ k12.astype(dt) + h3a @ k3f.astype(dt) + const.astype(dt)
+    logits = logits * mask[..., None].astype(dt)
+    s = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(dt)
+    s = s * mask[..., None].astype(dt)
+    return s, jnp.swapaxes(s, 1, 2)
+
+
+@pytest.fixture(autouse=True)
+def _interp():
+    ah.set_interpret(True)
+    yield
+    ah.set_interpret(False)
+
+
+def make_inputs(rng, b=2, n=256, c=36, f12=8):
+    x12 = jnp.asarray(rng.normal(size=(b, n, f12)).astype(np.float32))
+    h3a = jnp.asarray(
+        np.abs(rng.normal(size=(b, n, c))).astype(np.float32)
+    )
+    k12 = jnp.asarray(rng.normal(size=(f12, c)).astype(np.float32))
+    k3f = jnp.asarray(rng.normal(size=(c, c)).astype(np.float32) * 0.2)
+    const = jnp.asarray(rng.normal(size=(c,)).astype(np.float32))
+    mask = np.zeros((b, n), np.float32)
+    for bi, nn in enumerate(rng.integers(n // 2, n, size=b)):
+        mask[bi, :nn] = 1.0
+    mask = jnp.asarray(mask)
+    # masked inputs, like the conv outputs the model feeds in
+    x12 = x12 * mask[..., None]
+    h3a = h3a * mask[..., None]
+    return x12, h3a, k12, k3f, const, mask
+
+
+def test_forward_matches_oracle(rng):
+    args = make_inputs(rng)
+    s, s_t = ah.assign_head_softmax(*args)
+    so, sto = oracle(*args)
+    np.testing.assert_allclose(np.asarray(s), np.asarray(so), atol=2e-6)
+    np.testing.assert_allclose(np.asarray(s_t), np.asarray(sto), atol=2e-6)
+    # transposed output really is the transpose
+    np.testing.assert_array_equal(
+        np.asarray(s_t), np.asarray(jnp.swapaxes(s, 1, 2))
+    )
+
+
+def test_grads_match_oracle(rng):
+    args = make_inputs(rng)
+    w1 = jnp.asarray(rng.normal(size=args[1].shape[:2] + (36,)).astype(np.float32))
+    w2 = jnp.swapaxes(w1, 1, 2) * 0.3
+
+    def loss_fused(x12, h3a, k12, k3f, const, mask):
+        s, s_t = ah.assign_head_softmax(x12, h3a, k12, k3f, const, mask)
+        return jnp.sum(s * w1) + jnp.sum(s_t * w2 * w2)
+
+    def loss_oracle(x12, h3a, k12, k3f, const, mask):
+        s, s_t = oracle(x12, h3a, k12, k3f, const, mask)
+        return jnp.sum(s * w1) + jnp.sum(s_t * w2 * w2)
+
+    gf = jax.grad(loss_fused, argnums=(0, 1, 2, 3, 4))(*args)
+    go = jax.grad(loss_oracle, argnums=(0, 1, 2, 3, 4))(*args)
+    for a, b in zip(gf, go):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=5e-5, rtol=1e-4
+        )
+
+
+def test_model_fused_softmax_matches_unfused(rng):
+    """CGCNet with fused_assign_softmax='always' (interpret) must match the
+    unfused folded path: logits, grads, batch stats."""
+    import dataclasses
+
+    from cgcnet_tpu.config import ModelConfig
+    from cgcnet_tpu.nn.model import CGCNet, cross_entropy_loss
+    from tests.test_model import build_graph
+
+    g = build_graph(np.random.default_rng(3), batch=2, cap=256, n_lo=100)
+    base = ModelConfig(max_num_nodes=640, assign_ratio=0.2, use_pallas=False)
+    m_on = CGCNet(dataclasses.replace(base, fused_assign_softmax="always"))
+    m_off = CGCNet(dataclasses.replace(base, fused_assign_softmax="never"))
+    v = m_off.init(jax.random.key(0), g, train=False)
+    np.testing.assert_allclose(
+        np.asarray(m_on.apply(v, g, train=False)),
+        np.asarray(m_off.apply(v, g, train=False)),
+        atol=2e-5,
+    )
+
+    def loss(params, model):
+        out, mut = model.apply(
+            {**v, "params": params}, g, train=True,
+            mutable=["batch_stats"],
+            rngs={"dropout": jax.random.key(1)},
+        )
+        return cross_entropy_loss(out, g.y), mut["batch_stats"]
+
+    (l_on, bs_on), g_on = jax.value_and_grad(loss, has_aux=True)(
+        v["params"], m_on
+    )
+    (l_off, bs_off), g_off = jax.value_and_grad(loss, has_aux=True)(
+        v["params"], m_off
+    )
+    np.testing.assert_allclose(float(l_on), float(l_off), atol=2e-5)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-4
+        ),
+        bs_on, bs_off,
+    )
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=5e-4
+        ),
+        g_on, g_off,
+    )

@@ -264,3 +264,38 @@ class TestFastPath:
                 np.testing.assert_array_equal(
                     np.asarray(gf.blk_cols), np.asarray(gs.blk_cols)
                 )
+
+    def test_loader_fast_equals_slow_dynamic_buckets(self, tmp_path):
+        """Dynamic capacity buckets now run the native fast path: the
+        per-batch bucket is sized from dataset.sampled_count and matches the
+        numpy/collate quantization exactly (shapes and content)."""
+        from cgcnet_tpu.dataflow import native
+        from cgcnet_tpu.dataflow.loader import GraphLoader
+
+        if not native.available():
+            pytest.skip("native lib not built")
+        ds = self._dataset(tmp_path)
+        fast = GraphLoader(
+            ds, 2, shuffle=False, num_workers=2, seed=3, dynamic_buckets=True
+        )
+        batches_fast = [g for g in fast.epoch(1)]
+        ds2 = self._dataset(tmp_path)
+        ds2.supports_fast_path = lambda: False
+        slow = GraphLoader(
+            ds2, 2, shuffle=False, num_workers=2, seed=3, dynamic_buckets=True
+        )
+        batches_slow = [g for g in slow.epoch(1)]
+        assert len(batches_fast) == len(batches_slow)
+        for gf, gs in zip(batches_fast, batches_slow):
+            assert gf.x.shape == gs.x.shape  # same bucket choice
+            # buckets beat the fixed capacity for these small graphs
+            assert gf.x.shape[1] == 128
+            np.testing.assert_array_equal(
+                np.asarray(gf.n_nodes), np.asarray(gs.n_nodes)
+            )
+            np.testing.assert_allclose(
+                np.asarray(gf.x), np.asarray(gs.x), atol=1e-6
+            )
+            np.testing.assert_array_equal(
+                np.asarray(gf.nbr), np.asarray(gs.nbr)
+            )

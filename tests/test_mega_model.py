@@ -249,3 +249,44 @@ def test_bsr_mega_path_matches_gather(rng):
         )
     finally:
         bk.set_interpret(False)
+
+
+def test_gat_matches_cellgraph_model(rng):
+    """Sharded GAT (halo-exchanged k/v + remapped ELL scores) must match the
+    single-device CGCNet GAT branch."""
+    n_real, cap, d = 110, 128, 4
+    x, nbr, mask = build(rng, n_real, cap)
+    cfg = ModelConfig(
+        input_dim=18, max_num_nodes=160, assign_ratio=0.2,
+        hidden_dim=8, embedding_dim=8, assign_hidden_dim=8,
+        drop_out=0.0, gcn_name="GAT", gat_heads=2, use_pallas=False,
+    )
+    g = CellGraph(
+        x=jnp.asarray(x)[None],
+        nbr=jnp.asarray(nbr)[None],
+        nbr_mask=jnp.asarray(mask)[None],
+        n_nodes=jnp.asarray([n_real], jnp.int32),
+    )
+    model = CGCNet(cfg)
+    variables = model.init({"params": jax.random.key(6)}, g, train=False)
+    ref = np.asarray(model.apply(variables, g, train=False))[0]
+
+    mesh = make_mesh(1, d, devices=jax.devices()[:d])
+    part = partition_graph(nbr, mask, d)
+    inputs = prepare_mega_inputs(x, part, mesh, n_real=n_real)
+    out = np.asarray(
+        jax.jit(
+            lambda v: mega_forward(v, cfg, inputs, mesh, train=False)
+        )(variables)
+    )
+    np.testing.assert_allclose(out, ref, atol=3e-5, rtol=1e-4)
+
+    def loss(params):
+        v = {"params": params, "batch_stats": variables["batch_stats"]}
+        logits = mega_forward(v, cfg, inputs, mesh, train=True)
+        return -jax.nn.log_softmax(logits)[1]
+
+    grads = jax.jit(jax.grad(loss))(variables["params"])
+    leaves = jax.tree.leaves(jax.device_get(grads))
+    assert all(np.isfinite(l).all() for l in leaves)
+    assert sum(float(np.abs(l).sum()) for l in leaves) > 0

@@ -138,3 +138,66 @@ def test_collect_assign(rng):
     s0 = np.asarray(assigns[0])
     nn0 = int(g.n_nodes[0])
     np.testing.assert_allclose(s0[0, :nn0].sum(-1), 1.0, atol=1e-5)
+
+
+def test_fold_assign_tail_equivalence(rng):
+    """finish_folded (BN affine folded into the lin kernel) must match the
+    literal bn3 -> concat -> lin op order: same param tree, same logits
+    (train + eval), same batch-stat updates, same grads — for masked and
+    reference-quirk BN."""
+    import dataclasses
+
+    g = build_graph(rng, batch=2, cap=32)
+    for masked_bn in (True, False):
+        cfg_on = dataclasses.replace(
+            CFG, masked_bn=masked_bn, fold_assign_tail=True
+        )
+        cfg_off = dataclasses.replace(
+            CFG, masked_bn=masked_bn, fold_assign_tail=False
+        )
+        m_on, m_off = CGCNet(cfg_on), CGCNet(cfg_off)
+        v_on = m_on.init(jax.random.key(0), g, train=False)
+        v_off = m_off.init(jax.random.key(0), g, train=False)
+        # identical param trees (fold is an algebra change, not a layout one)
+        jax.tree.map(
+            lambda a, b: np.testing.assert_array_equal(
+                np.asarray(a), np.asarray(b)
+            ),
+            v_on["params"],
+            v_off["params"],
+        )
+        np.testing.assert_allclose(
+            np.asarray(m_on.apply(v_on, g, train=False)),
+            np.asarray(m_off.apply(v_off, g, train=False)),
+            atol=2e-5,
+        )
+
+        def loss(params, model, variables):
+            out, mut = model.apply(
+                {**variables, "params": params}, g, train=True,
+                mutable=["batch_stats"],
+                rngs={"dropout": jax.random.key(1)},
+            )
+            return cross_entropy_loss(out, g.y), mut["batch_stats"]
+
+        (l_on, bs_on), g_on = jax.value_and_grad(loss, has_aux=True)(
+            v_on["params"], m_on, v_on
+        )
+        (l_off, bs_off), g_off = jax.value_and_grad(loss, has_aux=True)(
+            v_off["params"], m_off, v_off
+        )
+        np.testing.assert_allclose(float(l_on), float(l_off), atol=2e-5)
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=2e-4
+            ),
+            bs_on,
+            bs_off,
+        )
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=5e-4
+            ),
+            g_on,
+            g_off,
+        )

@@ -19,6 +19,16 @@ import pytest
 import jax
 
 
+# XLA:CPU's Gloo collectives are not safe under the concurrency-optimized
+# scheduler: two data-independent all-reduces can be issued in different
+# orders by different processes and corrupt the pairwise TCP channel
+# ("op.preamble.length <= op.nbytes ... Received data size doesn't match").
+# Both processes compile byte-identical HLO (verified by --xla_dump_to
+# diffing), so this is a CPU-simulation runtime race, not a program bug —
+# TPU executes collectives in program order. Serialize the CPU schedule.
+_XLA_CPU_FLAGS = "--xla_cpu_enable_concurrency_optimized_scheduler=false"
+
+
 def _free_port() -> int:
     s = socket.socket()
     s.bind(("localhost", 0))
@@ -37,7 +47,7 @@ def test_two_process_dp_step_matches_single():
             stdout=subprocess.PIPE,
             stderr=subprocess.STDOUT,
             env={"PATH": "/usr/bin:/bin", "JAX_PLATFORMS": "cpu",
-                 "HOME": "/root"},
+                 "HOME": "/root", "XLA_FLAGS": _XLA_CPU_FLAGS},
         )
         for i in range(2)
     ]
@@ -98,7 +108,7 @@ def test_process_sharded_loader_and_checkpoint(tmp_path):
             stdout=subprocess.PIPE,
             stderr=subprocess.STDOUT,
             env={"PATH": "/usr/bin:/bin", "JAX_PLATFORMS": "cpu",
-                 "HOME": "/root"},
+                 "HOME": "/root", "XLA_FLAGS": _XLA_CPU_FLAGS},
         )
         for i in range(2)
     ]
