@@ -117,12 +117,11 @@ def _act(name):
     return activation(name)
 
 
-def _bn(p, stats, h, valid, axis, train: bool):
-    """BatchNorm over all real nodes of the global graph (psum stats).
-
-    Returns (out, upd): in train mode ``upd`` carries the torch-momentum-0.1
-    running-stat update (biased batch mean, unbiased variance) so the slide
-    training path tracks running statistics like TorchBatchNorm does."""
+def _bn_moments(stats, h, valid, axis, train: bool):
+    """(mean, var, upd) of the cross-shard psum BatchNorm; ``upd`` carries
+    the torch-momentum-0.1 running-stat update in train mode (biased batch
+    mean, unbiased variance) so slide training tracks running statistics
+    like TorchBatchNorm does."""
     upd = None
     if train:
         m = valid[:, None]
@@ -138,6 +137,12 @@ def _bn(p, stats, h, valid, axis, train: bool):
         }
     else:
         mean, var = stats["mean"], stats["var"]
+    return mean, var, upd
+
+
+def _bn(p, stats, h, valid, axis, train: bool):
+    """BatchNorm over all real nodes of the global graph (psum stats)."""
+    mean, var, upd = _bn_moments(stats, h, valid, axis, train)
     out = (h - mean) * jax.lax.rsqrt(var + 1e-5) * p["scale"] + p["bias"]
     return out, upd
 
@@ -221,6 +226,10 @@ def _stage1_block(
     """GNN block over sharded nodes; ``agg`` maps h -> A @ h."""
     p, s = params[name], (stats or {}).get(name, {})
     act = _act(cfg.activation)
+    # fold bn3's affine into the lin kernel for pooling blocks (same algebra
+    # as nn/blocks.py::finish_folded) — at slide scale every avoided pass
+    # over the [N, 1140] assign tensor is HBM-bandwidth won
+    fold3 = lin and cfg.bn and cfg.fold_assign_tail
     outs = []
     h = x
     for i in (1, 2, 3):
@@ -240,7 +249,7 @@ def _stage1_block(
             out = _linear(gp["mlp_1"], out)
         out = out * valid[:, None]
         out = act(out)
-        if cfg.bn:
+        if cfg.bn and not (fold3 and i == 3):
             out, upd = _bn(
                 p[f"bn{i}"], s.get(f"bn{i}"), out, valid, axis, train
             )
@@ -248,6 +257,23 @@ def _stage1_block(
                 stats_out.setdefault(name, {})[f"bn{i}"] = upd
         h = out
         outs.append(out)
+    if fold3:
+        h3a = outs[2]  # pre-BN activation (valid-masked)
+        mean, var, upd = _bn_moments(
+            s.get("bn3"), h3a, valid, axis, train
+        )
+        if upd is not None and stats_out is not None:
+            stats_out.setdefault(name, {})["bn3"] = upd
+        bp = p["bn3"]
+        inv = jax.lax.rsqrt(var + 1e-5) * bp["scale"]
+        shift = bp["bias"] - mean * inv
+        k = p["lin"]["kernel"]
+        split = outs[0].shape[-1] + outs[1].shape[-1]
+        k12, k3 = k[:split], k[split:]
+        const = shift @ k3 + p["lin"].get("bias", 0.0)
+        cat12 = jnp.concatenate(outs[:2], -1)
+        out = cat12 @ k12 + h3a @ (inv[:, None] * k3) + const
+        return out * valid[:, None]
     cat = jnp.concatenate(outs, -1) * valid[:, None]
     if lin:
         cat = _linear(p["lin"], cat) * valid[:, None]
