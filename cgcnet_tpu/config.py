@@ -75,6 +75,13 @@ class ModelConfig:
     # active and the node capacity tiles by 128; 'always' forces it (CPU
     # tests use interpret mode); 'never' disables. Requires fold_assign_tail.
     fused_assign_softmax: str | bool = "auto"
+    # Deeper fusion of the same tail: conv3's L2-normalize + relu + BN
+    # statistics also move into the Pallas passes, so conv3's activation
+    # tensor never reaches HBM (nn/blocks.py::finish_folded_pre). 'auto' =
+    # whenever the fused softmax is active and the conv is SAGE+relu;
+    # 'always' / 'never' force. BN batch variance is computed single-pass
+    # from (sum, sum-of-squares) — identical up to f32 rounding.
+    fused_assign_norm: str | bool = "auto"
 
     @property
     def assign_dims(self) -> tuple[int, int]:

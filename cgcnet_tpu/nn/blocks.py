@@ -85,11 +85,18 @@ class GNNBlock(fnn.Module):
         train: bool = False,
         agg: Optional[jax.Array] = None,
         apply_bn: bool = True,
+        raw: bool = False,
     ) -> jax.Array:
         """conv_i -> activation -> bn_i. ``agg`` optionally supplies the
         precomputed neighbourhood aggregation A @ x. ``apply_bn=False``
-        returns the pre-BN activation (the folded tail consumes it)."""
+        returns the pre-BN activation (the folded tail consumes it);
+        ``raw`` (SAGE only) returns the conv's raw lin output — normalize,
+        mask, activation and BN all deferred to the fused tail
+        (``finish_folded_pre``)."""
         conv = (self.gcn1, self.gcn2, self.gcn3)[i - 1]
+        if raw:
+            assert self.gcn_name == "SAGE", self.gcn_name
+            return conv(x, adj, mask, agg=agg, pre_normalize=True)
         h = conv(x, adj, mask, agg=agg)
         h = activation(self.act)(h)
         if self.use_bn and apply_bn:
@@ -101,6 +108,78 @@ class GNNBlock(fnn.Module):
     @property
     def folds_tail(self) -> bool:
         return self.fold_tail and self.use_lin and self.use_bn
+
+    @property
+    def folds_norm(self) -> bool:
+        """Whether the deeper ``finish_folded_pre`` tail applies: needs the
+        L2-normalizing SAGE conv and relu (the kernel exploits
+        relu(l2norm(p)) == rnorm * relu(p), which needs a positively
+        homogeneous activation — relu — and normalize=True)."""
+        return (
+            self.folds_tail and self.gcn_name == "SAGE" and self.act == "relu"
+        )
+
+    def finish_folded_pre(
+        self,
+        x1: jax.Array,
+        x2: jax.Array,
+        p: jax.Array,
+        mask: Optional[jax.Array],
+        *,
+        train: bool = False,
+    ) -> tuple[jax.Array, jax.Array]:
+        """Deepest assign-tail fusion: ``p`` is conv3's RAW lin output
+        (pre-normalize, pre-mask, pre-act — ``conv_step(..., raw=True)``).
+        L2-normalize, relu, BN statistics, the BN-folded lin and the masked
+        softmax are all computed by two Pallas passes over ``p``
+        (ops/pallas/assign_head.py) — conv3's activation tensor and the
+        assign logits never reach HBM. Returns (S, S^T).
+
+        Bit-compatible with ``finish_folded(..., fused_softmax=True)`` fed
+        by the unfused conv3 chain, up to single-pass-variance rounding in
+        the BN statistics.
+        """
+        from cgcnet_tpu.ops.pallas.assign_head import (
+            assign_head_softmax_pre,
+            assign_tail_train,
+        )
+
+        dt = p.dtype
+        m = (
+            mask.astype(dt)
+            if mask is not None
+            else jnp.ones(p.shape[:2], dt)
+        )
+        split = x1.shape[-1] + x2.shape[-1]
+        k = self.lin.kernel
+        k12, k3 = k[:split], k[split:]
+        lin_bias = (
+            self.lin.bias_p
+            if self.lin.bias_p is not None
+            else jnp.zeros((k.shape[1],), jnp.float32)
+        )
+        x12 = jnp.concatenate([x1, x2], axis=-1)
+        if train:
+            # masked_bn: statistics over real rows only; otherwise reproduce
+            # the reference's padded-row quirk — padded rows of the
+            # activation are exactly zero, so only the divisor changes
+            n = (
+                jnp.sum(m.astype(jnp.float32))
+                if self.masked_bn
+                else jnp.asarray(p.shape[0] * p.shape[1], jnp.float32)
+            )
+            s, s_t, mean, var = assign_tail_train(
+                x12, p, k12, k3, lin_bias, self.bn3.scale_p,
+                self.bn3.bias_p, m, n, self.bn3.eps,
+            )
+            self.bn3.update_running(mean, var, n)
+            return s, s_t
+        inv, shift = self.bn3.folded_affine(
+            self.bn3.ra_mean.value, self.bn3.ra_var.value
+        )
+        k3f = inv[:, None] * k3
+        const = shift @ k3 + lin_bias
+        return assign_head_softmax_pre(x12, p, k12, k3f, const, m)
 
     def finish_folded(
         self,
@@ -197,7 +276,7 @@ def paired_blocks(
     mask: Optional[jax.Array],
     *,
     train: bool = False,
-    pool_softmax: bool = False,
+    pool_softmax: bool | str = False,
 ) -> tuple[jax.Array, jax.Array | tuple[jax.Array, jax.Array]]:
     """Run an (embed, pool) block pair over one shared aggregation stream.
 
@@ -206,10 +285,17 @@ def paired_blocks(
     Halves the number of sparse-aggregation kernel launches vs running the
     blocks independently, with bit-identical per-block math.
 
+    ``pool_softmax``: False -> pool block returns assign logits; True ->
+    fused softmax kernel returns (S, S^T); "pre" -> the deeper fold where
+    conv3's normalize/relu/BN-stats also fuse into the kernel
+    (``GNNBlock.finish_folded_pre``; requires ``folds_norm``).
+
     Attention convolutions (GAT) cannot share an aggregation — the blocks
     run independently there.
     """
     assert not (pool_softmax and not pool_blk.folds_tail)
+    pre = pool_softmax == "pre"
+    assert not pre or pool_blk.folds_norm
     if "GAT" in (embed_blk.gcn_name, pool_blk.gcn_name):
         if pool_softmax:
             x1 = pool_blk.conv_step(1, x, adj, mask, train=train)
@@ -241,15 +327,17 @@ def paired_blocks(
             pool_blk.conv_step(
                 i, hp, adj, mask, train=train, agg=agg_p,
                 apply_bn=(i != 3 or not fold_p),
+                raw=(i == 3 and pre),
             )
         )
-    pool_out = (
-        pool_blk.finish_folded(
-            *p_outs, mask, train=train, fused_softmax=pool_softmax
+    if pre:
+        pool_out = pool_blk.finish_folded_pre(*p_outs, mask, train=train)
+    elif fold_p:
+        pool_out = pool_blk.finish_folded(
+            *p_outs, mask, train=train, fused_softmax=bool(pool_softmax)
         )
-        if fold_p
-        else pool_blk.finish(p_outs, mask)
-    )
+    else:
+        pool_out = pool_blk.finish(p_outs, mask)
     return embed_blk.finish(e_outs, mask), pool_out
 
 
@@ -279,6 +367,42 @@ def diff_pool(
     return pooled_x, pooled_adj, s
 
 
+@jax.custom_vjp
+def _contract_dual(
+    s_t: jax.Array,  # [B, C, N] (kernel-emitted transpose of s)
+    s: jax.Array,    # [B, N, C] (same values)
+    rhs: jax.Array,  # [B, N, F]
+) -> jax.Array:
+    """S^T @ rhs using the pre-transposed operand forward, and the UNTRANSPOSED
+    operand backward.
+
+    The caller guarantees ``s_t == swapaxes(s, 1, 2)`` (both come out of the
+    fused assign kernel in one pass). Forward contracts with ``s_t`` so no
+    relayout copy precedes the matmul. Backward reroutes the s_t-cotangent
+    onto ``s`` in [B, N, C] layout — einsum autodiff would otherwise emit
+    d rhs as a middle-dim contraction over s_t (a relayout + slow matmul,
+    ~440 us/step at the canonical shape) and d s_t in the transposed layout
+    that the kernel VJP would immediately swap back.
+    """
+    return jnp.einsum("bcn,bnf->bcf", s_t, rhs, preferred_element_type=rhs.dtype)
+
+
+def _cd_fwd(s_t, s, rhs):
+    return _contract_dual(s_t, s, rhs), (s, rhs)
+
+
+def _cd_bwd(res, ct):
+    s, rhs = res
+    # d s (routed from the s_t use): [B,N,C] = rhs @ ct^T, minor-dim contractions
+    ds = jnp.einsum("bnf,bcf->bnc", rhs, ct, preferred_element_type=s.dtype)
+    # d rhs: clean [N,C]@[C,F] matmul on the untransposed s
+    drhs = jnp.einsum("bnc,bcf->bnf", s, ct, preferred_element_type=rhs.dtype)
+    return jnp.zeros_like(ct, shape=(s.shape[0], s.shape[2], s.shape[1])), ds, drhs
+
+
+_contract_dual.defvjp(_cd_fwd, _cd_bwd)
+
+
 def diff_pool_from_s(
     x: jax.Array,
     adj: Adjacency,
@@ -287,12 +411,8 @@ def diff_pool_from_s(
 ) -> tuple[jax.Array, jax.Array]:
     """DiffPool contractions for a precomputed dual-layout S (the fused
     assign-head path): the S^T operands come pre-transposed so XLA inserts
-    no relayout copies."""
-    pooled_x = jnp.einsum(
-        "bcn,bnf->bcf", s_t, x, preferred_element_type=x.dtype
-    )
+    no relayout copies, forward or backward (``_contract_dual``)."""
+    pooled_x = _contract_dual(s_t, s, x)
     a_s = adj.matvec(s)
-    pooled_adj = jnp.einsum(
-        "bcn,bnd->bcd", s_t, a_s, preferred_element_type=s.dtype
-    )
+    pooled_adj = _contract_dual(s_t, s, a_s)
     return pooled_x, pooled_adj

@@ -82,11 +82,16 @@ class SAGEConv(fnn.Module):
         mask: Optional[jax.Array] = None,
         *,
         agg: Optional[jax.Array] = None,
+        pre_normalize: bool = False,
     ) -> jax.Array:
         out = adj.matvec(x) if agg is None else agg
         denom = jnp.clip(adj.rowsum(), min=1.0)[..., None].astype(out.dtype)
         out = out / denom
         out = TorchLinear(self.features, use_bias=self.use_bias, name="lin")(out)
+        if pre_normalize:
+            # raw lin output for an externally fused normalize+relu epilogue
+            # (ops/pallas/assign_head.py) — caller owns masking too
+            return out
         if self.normalize:
             # F.normalize(p=2, dim=-1, eps=1e-12): x / max(||x||, eps).
             # Sum-of-squares in f32 even under bf16 compute — bf16 norms of
@@ -325,6 +330,24 @@ class TorchBatchNorm(fnn.Module):
                 + self.momentum * unbiased
             )
         return mean, var
+
+    def update_running(
+        self, mean: jax.Array, var: jax.Array, n: jax.Array
+    ) -> None:
+        """Running-stat update from externally computed batch moments (the
+        fused assign tail computes them inside its custom VJP,
+        ops/pallas/assign_head.py::assign_tail_train) — same biased/unbiased
+        split and momentum as ``moments``."""
+        if self.is_initializing():
+            return
+        n = jnp.maximum(jnp.asarray(n, jnp.float32), 1.0)
+        unbiased = var * n / jnp.maximum(n - 1.0, 1.0)
+        self.ra_mean.value = (
+            (1.0 - self.momentum) * self.ra_mean.value + self.momentum * mean
+        )
+        self.ra_var.value = (
+            (1.0 - self.momentum) * self.ra_var.value + self.momentum * unbiased
+        )
 
     def folded_affine(
         self, mean: jax.Array, var: jax.Array

@@ -184,6 +184,13 @@ class CGCNet(fnn.Module):
         if fsm == "auto":
             fsm = adj.impl == "pallas"
         fsm = bool(fsm) and c.fold_assign_tail and graph.capacity % 128 == 0
+        # deeper fold: normalize/relu/BN-stats recomputed in VMEM from the
+        # raw conv3 lin output (SAGE+relu only — relies on relu's positive
+        # homogeneity, nn/blocks.py::folds_norm)
+        fan = c.fused_assign_norm
+        fan = fsm if fan == "auto" else bool(fan)
+        fan = fan and fsm and c.gcn_name == "SAGE" and c.activation == "relu"
+        pool_mode: bool | str = "pre" if fan else fsm
 
         outs = []
         # embed/pool pairs share one aggregation stream per layer (halves the
@@ -191,7 +198,7 @@ class CGCNet(fnn.Module):
         embed, assign_out = paired_blocks(
             self._block("embed1", c.embedding_dim, lin=False),
             self._block("pool1", assign_dim1, lin=True),
-            x, adj, mask, train=train, pool_softmax=fsm,
+            x, adj, mask, train=train, pool_softmax=pool_mode,
         )
         if c.jk:
             embed = DenseJK(c.hidden_dim, 3, name="jk1")(embed)

@@ -141,6 +141,383 @@ def _ah_fwd(x12, h3a, k12, k3f, const, mask):
     return (s, s_t), (x12, h3a, k12, k3f, s, mask)
 
 
+def _rnorm_h(pt: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """L2 row norm + relu fold: relu(l2norm(p)) == rnorm * relu(p) because
+    the norm scale is positive. ``pt`` is f32 [..., C]; returns (rnorm
+    [..., 1], h [..., C] f32) matching F.normalize(eps=1e-12) + relu."""
+    ss = jnp.sum(pt * pt, axis=-1, keepdims=True)
+    rnorm = 1.0 / jnp.maximum(jnp.sqrt(ss), 1e-12)
+    return rnorm, jnp.maximum(pt, 0.0) * rnorm
+
+
+def _stats_kernel(nn_ref, p_ref, sum_ref, sq_ref):
+    bi = pl.program_id(0)
+    ri = pl.program_id(1)
+
+    @pl.when((bi == 0) & (ri == 0))
+    def _init():
+        sum_ref[...] = jnp.zeros_like(sum_ref)
+        sq_ref[...] = jnp.zeros_like(sq_ref)
+
+    pt = p_ref[0].astype(jnp.float32)
+    _, h = _rnorm_h(pt)
+    rows = ri * TILE + jax.lax.broadcasted_iota(jnp.int32, (TILE, 1), 0)
+    h = h * (rows < nn_ref[bi]).astype(jnp.float32)
+    # round through the compute dtype: the unfused path materializes h3a in
+    # bf16 before BN reads it, so the statistics see rounded values
+    h = h.astype(p_ref.dtype).astype(jnp.float32)
+    sum_ref[...] += jnp.sum(h, axis=0)[None, :]
+    sq_ref[...] += jnp.sum(h * h, axis=0)[None, :]
+
+
+def _stats_call(p, mask):
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, n, c = p.shape
+    assert n % TILE == 0, n
+    nn = jnp.sum(mask.astype(jnp.float32), axis=1).astype(jnp.int32)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b, n // TILE),
+        in_specs=[
+            pl.BlockSpec((1, TILE, c), lambda bi, ri, nn: (bi, ri, 0)),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, c), lambda bi, ri, nn: (0, 0)),
+            pl.BlockSpec((1, c), lambda bi, ri, nn: (0, 0)),
+        ),
+    )
+    ssum, ssq = pl.pallas_call(
+        _stats_kernel,
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((1, c), jnp.float32),
+            jax.ShapeDtypeStruct((1, c), jnp.float32),
+        ),
+        interpret=_interpret(),
+        cost_estimate=pl.CostEstimate(
+            flops=6 * b * n * c,
+            bytes_accessed=b * n * c * jnp.dtype(p.dtype).itemsize,
+            transcendentals=b * n,
+        ),
+    )(nn, p)
+    return ssum[0], ssq[0]
+
+
+@jax.custom_vjp
+def l2relu_stats(p: jax.Array, mask: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """(sum[C], sumsq[C]) f32 of h = rowmask * relu(l2norm(p)) in ONE pass.
+
+    h is conv3's post-normalize post-relu activation (SAGEConv semantics,
+    reference model/network.py:95 + PyG DenseSAGEConv normalize=True) — the
+    BN batch statistics' input. The [B, N, C] h tensor never reaches HBM.
+    ``mask`` must be a 0/1 prefix row mask (CellGraph.mask contract).
+    """
+    return _stats_call(p, mask)
+
+
+def _stats_fwd(p, mask):
+    return _stats_call(p, mask), (p, mask)
+
+
+def _stats_bwd(res, cts):
+    p, mask = res
+    du, dw = cts
+    pf = p.astype(jnp.float32)
+    rnorm, h = _rnorm_h(pf)
+    h = h * mask[..., None].astype(jnp.float32)
+    dh = du[None, None, :] + 2.0 * h * dw[None, None, :]
+    # dp = mask*relu'(p)*rnorm*dh - rnorm^2 * p * sum_c(dh * h)
+    # (the sum term is already row-masked through h)
+    rd = jnp.sum(dh * h, axis=-1, keepdims=True)
+    dp = (
+        mask[..., None].astype(jnp.float32) * (pf > 0) * rnorm * dh
+        - rnorm * rnorm * pf * rd
+    )
+    return dp.astype(p.dtype), jnp.zeros_like(mask)
+
+
+l2relu_stats.defvjp(_stats_fwd, _stats_bwd)
+
+
+def _kernel_pre(nn_ref, x12_ref, p_ref, k12_ref, k3f_ref, const_ref,
+                s_ref, st_ref, *, tile: int):
+    bi = pl.program_id(0)
+    ri = pl.program_id(1)
+    pt = p_ref[0].astype(jnp.float32)
+    _, h = _rnorm_h(pt)
+    # h feeds the MXU in the compute dtype, same rounding as the unfused
+    # path's materialized h3a; padded rows need no mask here — their junk
+    # logits are killed by the final row mask exactly like _kernel
+    acc = jnp.dot(
+        x12_ref[0], k12_ref[...], preferred_element_type=jnp.float32
+    )
+    acc = acc + jnp.dot(
+        h.astype(p_ref.dtype), k3f_ref[...],
+        preferred_element_type=jnp.float32,
+    )
+    logits = acc + const_ref[0][None, :]
+    m = jnp.max(logits, axis=-1, keepdims=True)
+    e = jnp.exp(logits - m)
+    s = e / jnp.sum(e, axis=-1, keepdims=True)
+    rows = ri * tile + jax.lax.broadcasted_iota(jnp.int32, (tile, 1), 0)
+    s = s * (rows < nn_ref[bi]).astype(jnp.float32)
+    sb = s.astype(s_ref.dtype)
+    s_ref[0] = sb
+    st_ref[0] = sb.T
+
+
+def _fwd_call_pre(x12, p, k12, k3f, const, mask, tile: int = TILE):
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, n, c = p.shape
+    f12 = x12.shape[-1]
+    assert n % tile == 0, (n, tile)
+    dt = p.dtype
+    nn = jnp.sum(mask.astype(jnp.float32), axis=1).astype(jnp.int32)
+    out_shape = (
+        jax.ShapeDtypeStruct((b, n, c), dt),
+        jax.ShapeDtypeStruct((b, c, n), dt),
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b, n // tile),
+        in_specs=[
+            pl.BlockSpec((1, tile, f12), lambda bi, ri, nn: (bi, ri, 0)),
+            pl.BlockSpec((1, tile, c), lambda bi, ri, nn: (bi, ri, 0)),
+            pl.BlockSpec((f12, c), lambda bi, ri, nn: (0, 0)),
+            pl.BlockSpec((c, c), lambda bi, ri, nn: (0, 0)),
+            pl.BlockSpec((1, c), lambda bi, ri, nn: (0, 0)),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, tile, c), lambda bi, ri, nn: (bi, ri, 0)),
+            pl.BlockSpec((1, c, tile), lambda bi, ri, nn: (bi, 0, ri)),
+        ),
+    )
+    return pl.pallas_call(
+        functools.partial(_kernel_pre, tile=tile),
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        interpret=_interpret(),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * n * c * (f12 + c),
+            bytes_accessed=b * n * (f12 + 3 * c) * jnp.dtype(dt).itemsize,
+            transcendentals=b * n * (c + 1),
+        ),
+    )(nn, x12, p, k12.astype(dt), k3f.astype(dt), const[None, :])
+
+
+@jax.custom_vjp
+def assign_head_softmax_pre(
+    x12: jax.Array,    # [B, N, F12] layers 1-2 concat (masked)
+    p: jax.Array,      # [B, N, C]   conv3 raw lin output (pre-normalize)
+    k12: jax.Array,    # [F12, C]    lin kernel rows for x12
+    k3f: jax.Array,    # [C, C]      BN-folded lin kernel rows for h3a
+    const: jax.Array,  # [C] f32     folded bias: (beta - mu*inv) @ K3 + b
+    mask: jax.Array,   # [B, N]      0/1 prefix valid-row mask
+) -> tuple[jax.Array, jax.Array]:
+    """Deeper-fused assign head: L2-normalize + relu recomputed per tile in
+    VMEM from the raw conv3 lin output, then the folded logits + masked
+    softmax of :func:`assign_head_softmax` — neither the normalized
+    activation nor the logits ever reach HBM, forward or backward.
+
+    Replaces the reference chain DenseSAGEConv.normalize (PyG 1.2.1) -> relu
+    (model/network.py:84-91) -> BN affine fold -> lin epilogue
+    (model/network.py:78-82) -> assignment softmax (model/network.py:194-208).
+    """
+    return _fwd_call_pre(x12, p, k12, k3f, const, mask)
+
+
+def _ahp_fwd(x12, p, k12, k3f, const, mask):
+    s, s_t = _fwd_call_pre(x12, p, k12, k3f, const, mask)
+    return (s, s_t), (x12, p, k12, k3f, s, mask)
+
+
+def _ahp_bwd(res, cts):
+    x12, p, k12, k3f, s, mask = res
+    ds, ds_t = cts
+    g = ds + jnp.swapaxes(ds_t, 1, 2)
+    gf = g.astype(jnp.float32)
+    sf = s.astype(jnp.float32)
+    dl32 = sf * (gf - jnp.sum(gf * sf, axis=-1, keepdims=True))
+    dl = dl32.astype(s.dtype)
+    dx12 = dl @ k12.astype(dl.dtype).T
+    dk12 = jnp.einsum(
+        "bnf,bnc->fc", x12, dl, preferred_element_type=jnp.float32
+    ).astype(k12.dtype)
+    dconst = jnp.sum(dl32, axis=(0, 1))
+    # recompute h (one fused pass over p) for the kernel grad and the
+    # normalize backward; dl is zero on padded rows (s carries the mask), so
+    # everything downstream is row-masked for free
+    pf = p.astype(jnp.float32)
+    rnorm, h32 = _rnorm_h(pf)
+    h = h32.astype(p.dtype)
+    dk3f = jnp.einsum(
+        "bnc,bnd->cd", h, dl, preferred_element_type=jnp.float32
+    ).astype(k3f.dtype)
+    dh = (dl @ k3f.astype(dl.dtype).T).astype(jnp.float32)
+    rd = jnp.sum(dh * h32, axis=-1, keepdims=True)
+    dp = (pf > 0) * rnorm * dh - rnorm * rnorm * pf * rd
+    return (
+        dx12, dp.astype(p.dtype), dk12, dk3f, dconst,
+        jnp.zeros_like(mask),
+    )
+
+
+assign_head_softmax_pre.defvjp(_ahp_fwd, _ahp_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Full training tail: stats + BN-fold algebra + softmax under ONE custom VJP
+# so the backward collapses to { dl fusion, two inherent MXU matmuls, one
+# h-materializing pass, one Pallas dp kernel } — XLA autodiff of the same
+# chain emits ~5 extra full passes over [B, N, C].
+# ---------------------------------------------------------------------------
+
+def _tail_algebra(ssum, ssq, k3, lin_bias, bn_scale, bn_bias, n, eps):
+    """Small-tensor algebra between the stats kernel and the softmax kernel:
+    single-pass BN moments -> folded affine -> folded lin kernel/bias.
+    Differentiated by jax.vjp in the backward (all [C]-sized)."""
+    n = jnp.maximum(n, 1.0)
+    mean = ssum / n
+    var = jnp.maximum(ssq / n - mean * mean, 0.0)
+    inv = jax.lax.rsqrt(var + eps) * bn_scale
+    shift = bn_bias - mean * inv
+    k3f = inv[:, None] * k3
+    const = shift @ k3 + lin_bias
+    return k3f, const, mean, var
+
+
+def _bwd_kernel(nn_ref, p_ref, dh_ref, u_ref, w_ref, dp_ref, *, tile):
+    bi = pl.program_id(0)
+    ri = pl.program_id(1)
+    pt = p_ref[0].astype(jnp.float32)
+    rnorm, h = _rnorm_h(pt)
+    rows = ri * tile + jax.lax.broadcasted_iota(jnp.int32, (tile, 1), 0)
+    rmask = (rows < nn_ref[bi]).astype(jnp.float32)
+    hs = h * rmask
+    # dh from the softmax path is already row-masked (dl is 0 on padded
+    # rows); the stats-path cotangent (u = d ssum, w = d ssq) is not
+    dhf = dh_ref[0].astype(jnp.float32)
+    dh_tot = dhf + rmask * (u_ref[0][None, :] + 2.0 * hs * w_ref[0][None, :])
+    rd = jnp.sum(dh_tot * hs, axis=-1, keepdims=True)
+    dp = rmask * (pt > 0) * rnorm * dh_tot - rnorm * rnorm * pt * rd
+    dp_ref[0] = dp.astype(dp_ref.dtype)
+
+
+def _bwd_call(p, dh, u, w, mask, tile: int = TILE):
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, n, c = p.shape
+    assert n % tile == 0, (n, tile)
+    nn = jnp.sum(mask.astype(jnp.float32), axis=1).astype(jnp.int32)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b, n // tile),
+        in_specs=[
+            pl.BlockSpec((1, tile, c), lambda bi, ri, nn: (bi, ri, 0)),
+            pl.BlockSpec((1, tile, c), lambda bi, ri, nn: (bi, ri, 0)),
+            pl.BlockSpec((1, c), lambda bi, ri, nn: (0, 0)),
+            pl.BlockSpec((1, c), lambda bi, ri, nn: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, tile, c), lambda bi, ri, nn: (bi, ri, 0)),
+    )
+    return pl.pallas_call(
+        functools.partial(_bwd_kernel, tile=tile),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, n, c), p.dtype),
+        interpret=_interpret(),
+        cost_estimate=pl.CostEstimate(
+            flops=10 * b * n * c,
+            bytes_accessed=3 * b * n * c * jnp.dtype(p.dtype).itemsize,
+            transcendentals=b * n,
+        ),
+    )(nn, p, dh, u[None, :], w[None, :])
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(9,))
+def assign_tail_train(
+    x12: jax.Array,      # [B, N, F12] layers 1-2 concat (masked)
+    p: jax.Array,        # [B, N, C]   conv3 raw lin output (pre-normalize)
+    k12: jax.Array,      # [F12, C]    lin kernel rows for x12
+    k3: jax.Array,       # [C, C]      lin kernel rows for the conv3 stream
+    lin_bias: jax.Array, # [C] f32     lin bias (zeros when bias-free)
+    bn_scale: jax.Array, # [C] f32     bn3 scale
+    bn_bias: jax.Array,  # [C] f32     bn3 bias
+    mask: jax.Array,     # [B, N]      0/1 prefix valid-row mask
+    n: jax.Array,        # scalar f32  BN divisor (masked count or B*N)
+    eps: float = 1e-5,
+) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Training-mode assign tail under one custom VJP: L2-normalize + relu +
+    BN batch statistics + BN-affine fold + folded lin + masked softmax.
+
+    Returns (S, S^T, batch_mean, batch_var); the caller feeds mean/var into
+    the running-stat update (their cotangents are zero — running stats are
+    not differentiated). Matches the unfused reference chain
+    (model/network.py:78-107,194-208 with PyG DenseSAGEConv normalize) up to
+    single-pass-variance rounding.
+    """
+    ssum, ssq = _stats_call(p, mask)
+    k3f, const, mean, var = _tail_algebra(
+        ssum, ssq, k3, lin_bias, bn_scale, bn_bias, n, eps
+    )
+    s, s_t = _fwd_call_pre(x12, p, k12, k3f, const, mask)
+    return s, s_t, mean, var
+
+
+def _atf_fwd(x12, p, k12, k3, lin_bias, bn_scale, bn_bias, mask, n, eps):
+    ssum, ssq = _stats_call(p, mask)
+    k3f, const, mean, var = _tail_algebra(
+        ssum, ssq, k3, lin_bias, bn_scale, bn_bias, n, eps
+    )
+    s, s_t = _fwd_call_pre(x12, p, k12, k3f, const, mask)
+    res = (x12, p, k12, k3f, s, mask, ssum, ssq, k3, lin_bias,
+           bn_scale, bn_bias, n)
+    return (s, s_t, mean, var), res
+
+
+def _atf_bwd(eps, res, cts):
+    (x12, p, k12, k3f, s, mask, ssum, ssq, k3, lin_bias,
+     bn_scale, bn_bias, n) = res
+    ds, ds_t, dmean, dvar = cts
+    g = ds + jnp.swapaxes(ds_t, 1, 2)
+    gf = g.astype(jnp.float32)
+    sf = s.astype(jnp.float32)
+    dl32 = sf * (gf - jnp.sum(gf * sf, axis=-1, keepdims=True))
+    dl = dl32.astype(s.dtype)
+    dx12 = dl @ k12.astype(dl.dtype).T
+    dk12 = jnp.einsum(
+        "bnf,bnc->fc", x12, dl, preferred_element_type=jnp.float32
+    ).astype(k12.dtype)
+    dconst = jnp.sum(dl32, axis=(0, 1))
+    dh = dl @ k3f.astype(dl.dtype).T
+    # h materialized once, for the folded-kernel grad only (MXU einsum)
+    pf = p.astype(jnp.float32)
+    _, h32 = _rnorm_h(pf)
+    h = (h32 * mask[..., None].astype(jnp.float32)).astype(p.dtype)
+    dk3f = jnp.einsum(
+        "bnc,bnd->cd", h, dl, preferred_element_type=jnp.float32
+    )
+    # small-tensor algebra backward (all [C]-sized; jax.vjp re-linearizes)
+    _, alg_vjp = jax.vjp(
+        lambda su, sq, kk, lb, bs, bb: _tail_algebra(
+            su, sq, kk, lb, bs, bb, n, eps
+        ),
+        ssum, ssq, k3, lin_bias, bn_scale, bn_bias,
+    )
+    dssum, dssq, dk3, dlin_bias, dbn_scale, dbn_bias = alg_vjp(
+        (dk3f, dconst, dmean, dvar)
+    )
+    dp = _bwd_call(p, dh, dssum, dssq, mask)
+    return (
+        dx12, dp, dk12, dk3, dlin_bias, dbn_scale, dbn_bias,
+        jnp.zeros_like(mask), jnp.zeros_like(n),
+    )
+
+
+assign_tail_train.defvjp(_atf_fwd, _atf_bwd)
+
+
 def _ah_bwd(res, cts):
     x12, h3a, k12, k3f, s, mask = res
     ds, ds_t = cts

@@ -78,6 +78,140 @@ def test_grads_match_oracle(rng):
         )
 
 
+def _l2relu(p, mask):
+    """Oracle for the fused normalize+relu chain: the unfused conv3 tail
+    (SAGEConv normalize -> mask -> relu)."""
+    norm = jnp.linalg.norm(p, axis=-1, keepdims=True)
+    out = p / jnp.maximum(norm, 1e-12)
+    out = out * mask[..., None]
+    return jax.nn.relu(out)
+
+
+def make_pre_inputs(rng, b=2, n=256, c=36, f12=8):
+    x12 = jnp.asarray(rng.normal(size=(b, n, f12)).astype(np.float32))
+    p = jnp.asarray(rng.normal(size=(b, n, c)).astype(np.float32))
+    k12 = jnp.asarray(rng.normal(size=(f12, c)).astype(np.float32))
+    k3f = jnp.asarray(rng.normal(size=(c, c)).astype(np.float32) * 0.2)
+    const = jnp.asarray(rng.normal(size=(c,)).astype(np.float32))
+    mask = np.zeros((b, n), np.float32)
+    for bi, nn in enumerate(rng.integers(n // 2, n, size=b)):
+        mask[bi, :nn] = 1.0
+    mask = jnp.asarray(mask)
+    x12 = x12 * mask[..., None]
+    return x12, p, k12, k3f, const, mask
+
+
+def test_stats_kernel_matches_oracle(rng):
+    _, p, _, _, _, mask = make_pre_inputs(rng)
+
+    def oracle_sums(p, mask):
+        h = _l2relu(p, mask)
+        return jnp.sum(h, axis=(0, 1)), jnp.sum(h * h, axis=(0, 1))
+
+    ssum, ssq = ah.l2relu_stats(p, mask)
+    osum, osq = oracle_sums(p, mask)
+    np.testing.assert_allclose(np.asarray(ssum), np.asarray(osum), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(ssq), np.asarray(osq), atol=1e-4)
+
+    u = jnp.asarray(rng.normal(size=(36,)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(36,)).astype(np.float32))
+
+    def loss_f(fn):
+        def loss(p):
+            a, b = fn(p, mask)
+            return jnp.sum(a * u) + jnp.sum(b * w)
+        return loss
+
+    gf = jax.grad(loss_f(ah.l2relu_stats))(p)
+    go = jax.grad(loss_f(oracle_sums))(p)
+    np.testing.assert_allclose(np.asarray(gf), np.asarray(go),
+                               atol=5e-5, rtol=1e-4)
+
+
+def test_pre_forward_and_grads_match_oracle(rng):
+    args = make_pre_inputs(rng)
+
+    def oracle_pre(x12, p, k12, k3f, const, mask):
+        return oracle(x12, _l2relu(p, mask), k12, k3f, const, mask)
+
+    s, s_t = ah.assign_head_softmax_pre(*args)
+    so, sto = oracle_pre(*args)
+    np.testing.assert_allclose(np.asarray(s), np.asarray(so), atol=2e-6)
+    np.testing.assert_allclose(np.asarray(s_t), np.asarray(sto), atol=2e-6)
+
+    w1 = jnp.asarray(
+        rng.normal(size=args[1].shape[:2] + (36,)).astype(np.float32)
+    )
+    w2 = jnp.swapaxes(w1, 1, 2) * 0.3
+
+    def mkloss(fn):
+        def loss(x12, p, k12, k3f, const, mask):
+            s, s_t = fn(x12, p, k12, k3f, const, mask)
+            return jnp.sum(s * w1) + jnp.sum(s_t * w2 * w2)
+        return loss
+
+    gf = jax.grad(mkloss(ah.assign_head_softmax_pre), argnums=(0, 1, 2, 3, 4))(*args)
+    go = jax.grad(mkloss(oracle_pre), argnums=(0, 1, 2, 3, 4))(*args)
+    for a, b in zip(gf, go):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=5e-5, rtol=1e-4
+        )
+
+
+def test_model_fused_norm_matches_unfused(rng):
+    """CGCNet with fused_assign_norm='always' (interpret) must match the
+    plain folded path: logits, grads, batch stats (single-pass variance
+    tolerance)."""
+    import dataclasses
+
+    from cgcnet_tpu.config import ModelConfig
+    from cgcnet_tpu.nn.model import CGCNet, cross_entropy_loss
+    from tests.test_model import build_graph
+
+    g = build_graph(np.random.default_rng(5), batch=2, cap=256, n_lo=100)
+    base = ModelConfig(max_num_nodes=640, assign_ratio=0.2, use_pallas=False)
+    m_on = CGCNet(dataclasses.replace(
+        base, fused_assign_softmax="always", fused_assign_norm="always"
+    ))
+    m_off = CGCNet(dataclasses.replace(
+        base, fused_assign_softmax="never", fused_assign_norm="never"
+    ))
+    v = m_off.init(jax.random.key(0), g, train=False)
+    np.testing.assert_allclose(
+        np.asarray(m_on.apply(v, g, train=False)),
+        np.asarray(m_off.apply(v, g, train=False)),
+        atol=2e-5,
+    )
+
+    def loss(params, model):
+        out, mut = model.apply(
+            {**v, "params": params}, g, train=True,
+            mutable=["batch_stats"],
+            rngs={"dropout": jax.random.key(1)},
+        )
+        return cross_entropy_loss(out, g.y), mut["batch_stats"]
+
+    (l_on, bs_on), g_on = jax.value_and_grad(loss, has_aux=True)(
+        v["params"], m_on
+    )
+    (l_off, bs_off), g_off = jax.value_and_grad(loss, has_aux=True)(
+        v["params"], m_off
+    )
+    np.testing.assert_allclose(float(l_on), float(l_off), atol=2e-5)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-4
+        ),
+        bs_on, bs_off,
+    )
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=6e-4
+        ),
+        g_on, g_off,
+    )
+
+
 def test_model_fused_softmax_matches_unfused(rng):
     """CGCNet with fused_assign_softmax='always' (interpret) must match the
     unfused folded path: logits, grads, batch stats."""
