@@ -50,26 +50,24 @@ class TorchLSTM(fnn.Module):
         b_ih = self.param(f"bias_ih{suffix}", init, (4 * h,))
         b_hh = self.param(f"bias_hh{suffix}", init, (4 * h,))
 
-        def cell(carry, x_t):
-            h_t, c_t = carry
-            gates = (
-                x_t @ w_ih.T.astype(x_t.dtype)
-                + h_t @ w_hh.T.astype(x_t.dtype)
-                + (b_ih + b_hh).astype(x_t.dtype)
-            )
+        m, t_len = x.shape[0], x.shape[1]
+        dt = x.dtype
+        # input projection for ALL timesteps in one matmul; the unrolled
+        # per-step loop (T is a static 3) only adds the recurrent term —
+        # a lax.scan here costs ~300 us/step of dynamic-update-slice
+        # stacking and copies at the canonical [4*5760, 3, 20] shape
+        gx = x @ w_ih.T.astype(dt) + (b_ih + b_hh).astype(dt)  # [M, T, 4H]
+        w_hh_t = w_hh.T.astype(dt)
+        h_t = jnp.zeros((m, h), dt)
+        c_t = jnp.zeros((m, h), dt)
+        ys = []
+        for step in range(t_len):
+            gates = gx[:, step, :] + h_t @ w_hh_t
             i, f, g, o = jnp.split(gates, 4, axis=-1)
-            c_new = jax.nn.sigmoid(f) * c_t + jax.nn.sigmoid(i) * jnp.tanh(g)
-            h_new = jax.nn.sigmoid(o) * jnp.tanh(c_new)
-            return (h_new, c_new), h_new
-
-        m = x.shape[0]
-        carry0 = (
-            jnp.zeros((m, h), x.dtype),
-            jnp.zeros((m, h), x.dtype),
-        )
-        xs = jnp.swapaxes(x, 0, 1)  # [T, M, C]
-        _, ys = jax.lax.scan(cell, carry0, xs)
-        return jnp.swapaxes(ys, 0, 1)  # [M, T, H]
+            c_t = jax.nn.sigmoid(f) * c_t + jax.nn.sigmoid(i) * jnp.tanh(g)
+            h_t = jax.nn.sigmoid(o) * jnp.tanh(c_t)
+            ys.append(h_t)
+        return jnp.stack(ys, axis=1)  # [M, T, H]
 
     @fnn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
