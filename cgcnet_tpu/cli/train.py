@@ -66,15 +66,21 @@ def main(argv=None) -> dict:
 
         enable_debug_checks()
 
-    # persistent compile cache (tunnel/TPU compiles are expensive)
+    # persistent compile cache (tunnel/TPU compiles are expensive) — keep it
+    # OUTSIDE the run dir so every run (incl. --synthetic temp roots and
+    # fresh run_id hashes) reuses the same cache; override via
+    # CGCNET_COMPILE_CACHE.
     import os as _os
 
     import jax as _jax
 
-    _cache = _os.path.join(cfg.train.ckpt_dir, ".jax_cache")
+    _cache = _os.environ.get("CGCNET_COMPILE_CACHE") or _os.path.join(
+        _os.path.expanduser("~"), ".cache", "cgcnet_tpu", "jax_cache"
+    )
     _os.makedirs(_cache, exist_ok=True)
     try:
         _jax.config.update("jax_compilation_cache_dir", _cache)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     except Exception:
         pass
 
