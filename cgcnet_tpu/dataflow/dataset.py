@@ -426,24 +426,29 @@ def attach_bsr_meta(
     global batch and must agree on every shape (multi-host loading)."""
     if native.available():
         bsr_block_meta = native.bsr_block_meta
-        bsr_blocks_needed = native.bsr_blocks_needed
     else:
-        from cgcnet_tpu.ops.pallas.bsr_kernel import (
-            bsr_block_meta,
-            bsr_blocks_needed,
-        )
+        from cgcnet_tpu.ops.pallas.bsr_kernel import bsr_block_meta
 
     nb = batch["x"].shape[0]
+    caps = (4, 6, 8, 12, 16)
     for src, msk, cname, mname in (
         ("nbr", "nbr_mask", "blk_cols", "blk_mask"),
         ("nbr_t", "nbr_t_mask", "blk_cols_t", "blk_mask_t"),
     ):
-        need = max(
-            bsr_blocks_needed(batch[src][bi], batch[msk][bi])
-            for bi in range(nb)
-        )
+        # ONE scan per element: build meta at the widest usable cap and read
+        # the need off the same pass, then slice down to the quantized cap
+        # (the extra slots are zero-padding by construction)
+        cap_max = bsr_blocks if not quantize else max(caps[-1], 1)
+        cols, masks, need = [], [], 0
+        for bi in range(nb):
+            c, m, nd = bsr_block_meta(
+                batch[src][bi], batch[msk][bi], cap_max, strict=False
+            )
+            cols.append(c)
+            masks.append(m)
+            need = max(need, nd)
         if quantize:
-            cap = next((c for c in (4, 6, 8, 12, 16) if c >= need), None)
+            cap = next((c for c in caps if c >= need), None)
         else:
             cap = bsr_blocks
             if need > cap:
@@ -464,10 +469,5 @@ def attach_bsr_meta(
             for k in ("blk_cols", "blk_mask", "blk_cols_t", "blk_mask_t"):
                 batch.pop(k, None)
             return
-        cols, masks = [], []
-        for bi in range(nb):
-            c, m, _ = bsr_block_meta(batch[src][bi], batch[msk][bi], cap)
-            cols.append(c)
-            masks.append(m)
-        batch[cname] = np.stack(cols)
-        batch[mname] = np.stack(masks)
+        batch[cname] = np.ascontiguousarray(np.stack(cols)[:, :, :cap])
+        batch[mname] = np.ascontiguousarray(np.stack(masks)[:, :, :cap])

@@ -198,10 +198,13 @@ def bsr_blocks_needed(nbr: np.ndarray, mask: np.ndarray, tile: int = 128) -> int
 
 
 def bsr_block_meta(
-    nbr: np.ndarray, mask: np.ndarray, max_blocks: int, tile: int = 128
+    nbr: np.ndarray, mask: np.ndarray, max_blocks: int, tile: int = 128,
+    strict: bool = True,
 ) -> tuple[np.ndarray, np.ndarray, int]:
     """Native twin of ops.pallas.bsr_kernel.bsr_block_meta (sorted unique
-    column tiles per row tile). Raises on overflow like the python builder."""
+    column tiles per row tile). Raises on overflow like the python builder
+    unless ``strict=False`` (the caller then checks the returned need — lets
+    attach_bsr_meta build meta and measure need in ONE scan)."""
     lib = _load()
     assert lib is not None
     n, k = nbr.shape
@@ -217,7 +220,7 @@ def bsr_block_meta(
             _i32p(cols), _f32p(cmask),
         )
     )
-    if need > max_blocks:
+    if strict and need > max_blocks:
         raise ValueError(
             f"row tile touches {need} column tiles > cap {max_blocks}; "
             "spatially sort nodes or raise bsr max_blocks"

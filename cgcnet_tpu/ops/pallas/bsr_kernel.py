@@ -66,6 +66,7 @@ def bsr_block_meta(
     mask: np.ndarray,
     max_blocks: int,
     tile: int = TILE,
+    strict: bool = True,
 ) -> tuple[np.ndarray, np.ndarray, int]:
     """Per-row-tile nonzero block-column lists.
 
@@ -75,7 +76,9 @@ def bsr_block_meta(
 
     Returns (blk_cols i32[R, max_blocks], blk_mask f32[R, max_blocks],
     max_needed). Raises if a row tile touches more than ``max_blocks`` column
-    tiles — spatially sort the nodes or raise the cap.
+    tiles — spatially sort the nodes or raise the cap — unless
+    ``strict=False``, in which case over-cap row tiles are left zero and the
+    caller checks ``max_needed`` (single-scan need measurement).
     """
     n, _ = nbr.shape
     assert n % tile == 0, f"N={n} not a multiple of {tile}"
@@ -88,10 +91,13 @@ def bsr_block_meta(
         cols = np.unique((nbr[rows][mask[rows] > 0]) // tile)
         max_needed = max(max_needed, len(cols))
         if len(cols) > max_blocks:
-            raise ValueError(
-                f"row tile {ri} touches {len(cols)} column tiles > cap "
-                f"{max_blocks}; spatially sort nodes or raise bsr max_blocks"
-            )
+            if strict:
+                raise ValueError(
+                    f"row tile {ri} touches {len(cols)} column tiles > cap "
+                    f"{max_blocks}; spatially sort nodes or raise bsr "
+                    "max_blocks"
+                )
+            continue
         blk_cols[ri, : len(cols)] = cols
         blk_mask[ri, : len(cols)] = 1.0
     return blk_cols, blk_mask, max_needed

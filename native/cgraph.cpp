@@ -16,6 +16,7 @@
 #include <cmath>
 #include <cstdint>
 #include <cstring>
+#include <limits>
 #include <vector>
 
 #if defined(__AVX2__)
@@ -38,6 +39,20 @@ int64_t transpose_ell(const int32_t* nbr, const float* mask, int64_t n, int k,
 // pos: [n,2] float32 (row-major). out_nbr: [n,k] int32 (pre-filled by caller
 // or overwritten; invalid slots set to own index). out_mask: [n,k] float32.
 // Returns 0 on success.
+//
+// Grid of cell size `radius` (3x3 neighbourhood covers the ball) with each
+// cell's points SORTED BY Y. The query's own cell is scanned first with a
+// tight branch-light loop (d2 > bound is the only hot branch) to seed the
+// k-list; each neighbour cell is then restricted to the y-window
+// [yi - w, yi + w] with w = sqrt(current k-th best) via binary search, and
+// skipped outright when the point-to-cell-box gap already exceeds the
+// bound. On clumped data (nuclei clusters far denser than the patch
+// average) the plain 3x3 scan evaluated every candidate of the clump; the
+// window scan touches only the O(k) nearest per neighbour cell.
+// Exactness: a candidate outside the window has d2 >= dy^2 > bound, so it
+// can neither beat nor tie (ties need d2 == bound) the current k-th; while
+// the list is not yet full the bound is radius^2 itself and the window is
+// the full radius.
 int radius_knn(const float* pos, int64_t n, float radius, int k,
                int32_t* out_nbr, float* out_mask) {
   if (n == 0) return 0;
@@ -55,58 +70,91 @@ int radius_knn(const float* pos, int64_t n, float radius, int k,
   const int64_t gx = std::max<int64_t>(1, (int64_t)((maxx - minx) / cell) + 1);
   const int64_t gy = std::max<int64_t>(1, (int64_t)((maxy - miny) / cell) + 1);
 
-  // counting-sort points into cells
-  std::vector<int64_t> cell_of(n), count(gx * gy + 1, 0);
+  // counting-sort points into cells; SoA copies in bucket order, then each
+  // cell's slice sorted by y so the candidate scan is a contiguous window
+  std::vector<int32_t> cell_of(n);
+  std::vector<int32_t> count(gx * gy + 1, 0);
   for (int64_t i = 0; i < n; ++i) {
     int64_t cx = (int64_t)((pos[2 * i] - minx) / cell);
     int64_t cy = (int64_t)((pos[2 * i + 1] - miny) / cell);
     cx = std::min(cx, gx - 1);
     cy = std::min(cy, gy - 1);
-    cell_of[i] = cx * gy + cy;
+    cell_of[i] = (int32_t)(cx * gy + cy);
     count[cell_of[i] + 1]++;
   }
   for (int64_t c = 0; c < gx * gy; ++c) count[c + 1] += count[c];
-  std::vector<int64_t> bucket(n);
+  std::vector<int32_t> order(n);
   {
-    std::vector<int64_t> cursor(count.begin(), count.end() - 1);
-    for (int64_t i = 0; i < n; ++i) bucket[cursor[cell_of[i]]++] = i;
+    std::vector<int32_t> cursor(count.begin(), count.end() - 1);
+    for (int64_t i = 0; i < n; ++i) order[cursor[cell_of[i]]++] = (int32_t)i;
+  }
+  for (int64_t c = 0; c < gx * gy; ++c)
+    std::sort(order.begin() + count[c], order.begin() + count[c + 1],
+              [&](int32_t a, int32_t b) {
+                return pos[2 * a + 1] < pos[2 * b + 1];
+              });
+  std::vector<float> bxs(n), bys(n);
+  for (int64_t b = 0; b < n; ++b) {
+    bxs[b] = pos[2 * order[b]];
+    bys[b] = pos[2 * order[b] + 1];
   }
 
-  // per-point search over the 3x3 cell neighbourhood; candidates inserted
-  // directly into a k-slot nearest list (k is small — insertion beats
-  // collecting + partial_sort, which dominated the loader's graph build)
+  static const int8_t DX[9] = {0, 0, 0, -1, -1, -1, 1, 1, 1};
+  static const int8_t DY[9] = {0, -1, 1, 0, -1, 1, 0, -1, 1};
   std::vector<float> bd(k);
   std::vector<int64_t> bj(k);
   for (int64_t i = 0; i < n; ++i) {
     int kk = 0;
     const float xi = pos[2 * i], yi = pos[2 * i + 1];
     const int64_t cx = cell_of[i] / gy, cy = cell_of[i] % gy;
-    for (int64_t dx = -1; dx <= 1; ++dx) {
-      for (int64_t dy = -1; dy <= 1; ++dy) {
-        const int64_t nx = cx + dx, ny = cy + dy;
-        if (nx < 0 || nx >= gx || ny < 0 || ny >= gy) continue;
-        const int64_t c = nx * gy + ny;
-        for (int64_t b = count[c]; b < count[c + 1]; ++b) {
-          const int64_t j = bucket[b];
-          const float ddx = pos[2 * j] - xi, ddy = pos[2 * j + 1] - yi;
-          const float d2 = ddx * ddx + ddy * ddy;
-          if (d2 > r2) continue;
-          if (kk == k && (d2 > bd[k - 1] ||
-                          (d2 == bd[k - 1] && j > bj[k - 1])))
-            continue;
-          // insertion position: nearest first, ties by lower index (same
-          // order as ops/knn.py's lexsort; self d2=0 wins slot 0)
-          int p = kk < k ? kk : k - 1;
-          while (p > 0 && (bd[p - 1] > d2 ||
-                           (bd[p - 1] == d2 && bj[p - 1] > j))) {
-            bd[p] = bd[p - 1];
-            bj[p] = bj[p - 1];
-            --p;
-          }
-          bd[p] = d2;
-          bj[p] = j;
-          if (kk < k) ++kk;
+    // query offsets inside its cell, for point-to-box gap bounds
+    const float px = xi - (minx + cx * cell);
+    const float py = yi - (miny + cy * cell);
+    float bound = r2;
+    for (int v = 0; v < 9; ++v) {
+      const int64_t nx = cx + DX[v], ny = cy + DY[v];
+      if (nx < 0 || nx >= gx || ny < 0 || ny >= gy) continue;
+      const int64_t c = nx * gy + ny;
+      int32_t b0 = count[c];
+      const int32_t b1 = count[c + 1];
+      if (b0 == b1) continue;
+      if (v > 0) {
+        // gap from the query point to the candidate cell box
+        const float gpx = std::max(
+            0.0f, DX[v] > 0 ? cell - px : (DX[v] < 0 ? px : 0.0f));
+        const float gpy = std::max(
+            0.0f, DY[v] > 0 ? cell - py : (DY[v] < 0 ? py : 0.0f));
+        if (gpx * gpx + gpy * gpy > bound) continue;
+      }
+      // y-window from the current bound; +1 ulp so sqrt rounding can never
+      // exclude a candidate with dy^2 == bound exactly
+      const float w =
+          std::nextafter(std::sqrt(bound), std::numeric_limits<float>::max());
+      if (v > 0) {
+        const float* ys = bys.data();
+        b0 = (int32_t)(std::lower_bound(ys + b0, ys + b1, yi - w) - ys);
+      }
+      for (int32_t b = b0; b < b1; ++b) {
+        const float dy = bys[b] - yi;
+        if (dy > w) break;  // y-sorted: nothing closer follows
+        const float ddx = bxs[b] - xi;
+        const float d2 = ddx * ddx + dy * dy;
+        if (d2 > bound) continue;
+        const int64_t j = order[b];
+        if (kk == k && d2 == bd[k - 1] && j > bj[k - 1]) continue;
+        // insertion position: nearest first, ties by lower index (same
+        // order as ops/knn.py's lexsort; self d2=0 wins slot 0)
+        int p = kk < k ? kk : k - 1;
+        while (p > 0 && (bd[p - 1] > d2 ||
+                         (bd[p - 1] == d2 && bj[p - 1] > j))) {
+          bd[p] = bd[p - 1];
+          bj[p] = bj[p - 1];
+          --p;
         }
+        bd[p] = d2;
+        bj[p] = j;
+        if (kk < k) ++kk;
+        if (kk == k) bound = bd[k - 1];
       }
     }
     for (int s = 0; s < k; ++s) {

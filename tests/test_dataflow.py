@@ -265,6 +265,63 @@ class TestFastPath:
                     np.asarray(gf.blk_cols), np.asarray(gs.blk_cols)
                 )
 
+    def test_wire_path_matches_per_leaf(self, tmp_path):
+        """Single-buffer wire transfer + device-side bitcast unpack must be
+        bit-exact vs the per-leaf device_put path, field by field."""
+        from cgcnet_tpu.dataflow.loader import GraphLoader
+
+        ds = self._dataset(tmp_path)
+        wire = GraphLoader(ds, 2, shuffle=False, num_workers=2, seed=3,
+                           wire=True)
+        leaf = GraphLoader(ds, 2, shuffle=False, num_workers=2, seed=3,
+                           wire=False)
+        batches_w = [g for g in wire.epoch(1)]
+        batches_l = [g for g in leaf.epoch(1)]
+        assert len(batches_w) == len(batches_l) > 0
+        fields = (
+            "x", "nbr", "nbr_mask", "nbr_t", "nbr_t_mask", "n_nodes", "y",
+            "patch_idx", "blk_cols", "blk_mask", "blk_cols_t", "blk_mask_t",
+        )
+        for gw, gl in zip(batches_w, batches_l):
+            for f in fields:
+                a, b = getattr(gw, f), getattr(gl, f)
+                if a is None or b is None:
+                    assert a is None and b is None, f
+                    continue
+                assert a.dtype == b.dtype, f
+                np.testing.assert_array_equal(
+                    np.asarray(a), np.asarray(b), err_msg=f
+                )
+
+    def test_bsr_meta_single_scan_matches_strict(self, tmp_path):
+        """attach_bsr_meta's one-scan (strict=False, slice-to-cap) layout
+        equals building directly at the quantized cap."""
+        from cgcnet_tpu.dataflow.dataset import attach_bsr_meta, collate
+        from cgcnet_tpu.ops.pallas.bsr_kernel import (
+            bsr_block_meta,
+            bsr_blocks_needed,
+        )
+
+        ds = self._dataset(tmp_path)
+        samples = [ds.get(i, 0) for i in range(2)]
+        batch = collate(samples, ds.capacity, 0)
+        attach_bsr_meta(batch, 16)
+        for src, msk, cname in (
+            ("nbr", "nbr_mask", "blk_cols"),
+            ("nbr_t", "nbr_t_mask", "blk_cols_t"),
+        ):
+            need = max(
+                bsr_blocks_needed(batch[src][bi], batch[msk][bi])
+                for bi in range(2)
+            )
+            cap = next(c for c in (4, 6, 8, 12, 16) if c >= need)
+            assert batch[cname].shape[-1] == cap
+            for bi in range(2):
+                c_ref, m_ref, _ = bsr_block_meta(
+                    batch[src][bi], batch[msk][bi], cap
+                )
+                np.testing.assert_array_equal(batch[cname][bi], c_ref)
+
     def test_loader_fast_equals_slow_dynamic_buckets(self, tmp_path):
         """Dynamic capacity buckets now run the native fast path: the
         per-batch bucket is sized from dataset.sampled_count and matches the

@@ -152,6 +152,40 @@ class TestNative:
         tp = transpose_ell_np(nbr_p, mask_p, 40)
         assert tc[2] == tp[2]
 
+    def test_native_knn_exact_battery(self, rng):
+        """The y-sorted window kNN must match the numpy oracle EXACTLY
+        (slot order, ties by lower index) across density regimes — incl.
+        the clumped-nuclei worst case the window search exists for."""
+        from cgcnet_tpu.dataflow import native
+
+        if not native.available():
+            pytest.skip("native lib not built")
+        from cgcnet_tpu.ops.knn import radius_knn_np
+
+        centers = rng.uniform(0, 2000, (6, 2))
+        cases = [
+            ("uniform", rng.uniform(0, 2000, (3000, 2)), 100.0, 8),
+            (
+                "clumped",
+                (centers[rng.integers(0, 6, 4000)]
+                 + rng.normal(0, 60, (4000, 2))).clip(0, 1999),
+                100.0, 8,
+            ),
+            ("coincident", np.zeros((24, 2)), 50.0, 8),
+            ("line", np.stack([np.arange(300.0) * 7, np.zeros(300)], 1),
+             100.0, 8),
+            ("quantized", rng.integers(0, 40, (2000, 2)) * 8.0, 30.0, 8),
+            ("k>deg", rng.uniform(0, 400, (500, 2)), 60.0, 32),
+        ]
+        for label, pts, radius, k in cases:
+            pts = np.ascontiguousarray(pts, np.float32)
+            nbr_c, mask_c = native.radius_knn(pts, radius, k)
+            nbr_p, mask_p = radius_knn_np(pts, radius, k)
+            np.testing.assert_array_equal(nbr_c, nbr_p, err_msg=label)
+            np.testing.assert_array_equal(
+                mask_c, mask_p.astype(np.float32), err_msg=label
+            )
+
     def test_native_fps_table_parity(self, rng):
         from cgcnet_tpu.dataflow import native
 
