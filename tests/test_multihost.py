@@ -57,7 +57,19 @@ def _run_worker_pair(extra_args, pattern, attempts=3):
             )
             for i in range(2)
         ]
-        outs = [p.communicate(timeout=300)[0].decode() for p in procs]
+        try:
+            outs = [p.communicate(timeout=300)[0].decode() for p in procs]
+        except subprocess.TimeoutExpired:
+            # host under load (another suite/TPU job hogging the 4 cores) or
+            # a worker deadlocked on a half-corrupted Gloo channel — kill the
+            # pair and retry on a fresh port
+            for p in procs:
+                p.kill()
+            for p in procs:
+                p.communicate()
+            if attempt < attempts - 1:
+                continue
+            raise
         gloo_race = any(
             p.returncode != 0 and ("gloo" in t or "Gloo" in t)
             for p, t in zip(procs, outs)
