@@ -111,7 +111,22 @@ def main() -> None:
     t_sparse = bench_device_loop(sparse_step, x, iters=100)
 
     # --- baseline: dense [B,N,N] adjacency matmul fwd+bwd (reference style) ---
-    adj = jnp.zeros((B, N, N), jnp.bfloat16)
+    # Honesty notes (measured, see CLAUDE.md):
+    #  * a zeros-valued adjacency is constant-folded by XLA (dot(0,v) ->
+    #    broadcast(0)), timing at ~0.7 ms for 265 MB of reads — fiction; the
+    #    baseline must carry random values;
+    #  * XLA hoists a one-time ~26 ms relayout of the 265 MB constant out of
+    #    the device loop; at small iter counts that prologue dominates the
+    #    per-iter quotient. iters=40 amortizes it, yielding the STEADY-STATE
+    #    resident-adjacency cost (~1-1.6 ms/pair) — conservative in the
+    #    baseline's favor: a real pipeline re-materializes the dense
+    #    adjacency every batch (reference _re_norm_adj runs per forward,
+    #    model/network.py:259-260) and would pay ~27 ms/step (the standalone
+    #    single-call cost), while our sparse number already includes its own
+    #    amortized per-step block build.
+    adj = jnp.asarray(
+        (rng.random((B, N, N), dtype=np.float32) < 8.0 / N).astype(np.float32)
+    ).astype(jnp.bfloat16)
 
     def dense_step(xx):
         def loss(v):
@@ -150,15 +165,27 @@ def main() -> None:
                     0, iters, lambda i, ss: step_fn(ss, graph, tx)[0], s
                 )
 
-            jax.block_until_ready(many_steps(state))
+            out_state = jax.block_until_ready(many_steps(state))
+            # fiction guard: a step whose params don't move (or a hoisted
+            # loop) must not be reported as throughput
+            delta = sum(
+                float(jnp.sum(jnp.abs(a.astype(jnp.float32) - b.astype(jnp.float32))))
+                for a, b in zip(
+                    jax.tree.leaves(state.params),
+                    jax.tree.leaves(out_state.params),
+                )
+            )
             t_step = float("inf")
             for _ in range(3):
                 t0 = time.perf_counter()
                 jax.block_until_ready(many_steps(state))
                 t_step = min(t_step, (time.perf_counter() - t0) / iters)
+            suspect = t_step < 1e-3 or delta == 0.0
             print(
                 f"train_step[{dtype}]: {t_step*1e3:.1f} ms/step  "
-                f"({4/t_step:.1f} patches/s, B=4 N={N})",
+                f"({4/t_step:.1f} patches/s, B=4 N={N}, "
+                f"param_l1_delta={delta:.3g})"
+                + ("  [SUSPECT: tunnel timing artifact]" if suspect else ""),
                 file=sys.stderr,
             )
     except Exception as e:  # pragma: no cover - context only

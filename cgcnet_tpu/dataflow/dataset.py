@@ -411,7 +411,8 @@ def collate(
 
 
 def attach_bsr_meta(
-    batch: dict, bsr_blocks: int, quantize: bool = True
+    batch: dict, bsr_blocks: int, quantize: bool = True,
+    sticky_caps: dict | None = None,
 ) -> None:
     """Add block-sparse metadata to a collated batch, in place.
 
@@ -420,6 +421,12 @@ def attach_bsr_meta(
     lists, and kernel DMA cost scales with the cap. Tight metadata with a
     bounded set of compiled shapes; ``bsr_blocks`` is the ceiling — beyond
     it, the batch carries no metadata and the model uses XLA gathers.
+
+    ``sticky_caps``: mutable {direction: cap} floor shared across batches —
+    caps only GROW, so a run converges to ONE compiled train-step shape per
+    direction after the first few batches. Without it, batch-to-batch cap
+    wobble triggers full recompiles (minutes each through the axon compile
+    relay — measured as 140 s "epochs" on an otherwise 8 ms step).
 
     ``quantize=False`` uses exactly ``bsr_blocks`` slots and RAISES on
     overflow — required when multiple processes each build a shard of one
@@ -431,10 +438,10 @@ def attach_bsr_meta(
 
     nb = batch["x"].shape[0]
     caps = (4, 6, 8, 12, 16)
-    for src, msk, cname, mname in (
+    for di, (src, msk, cname, mname) in enumerate((
         ("nbr", "nbr_mask", "blk_cols", "blk_mask"),
         ("nbr_t", "nbr_t_mask", "blk_cols_t", "blk_mask_t"),
-    ):
+    )):
         # ONE scan per element: build meta at the widest usable cap and read
         # the need off the same pass, then slice down to the quantized cap
         # (the extra slots are zero-padding by construction)
@@ -448,7 +455,10 @@ def attach_bsr_meta(
             masks.append(m)
             need = max(need, nd)
         if quantize:
-            cap = next((c for c in caps if c >= need), None)
+            floor = sticky_caps.get(di, 0) if sticky_caps is not None else 0
+            cap = next((c for c in caps if c >= max(need, floor)), None)
+            if sticky_caps is not None and cap is not None:
+                sticky_caps[di] = max(floor, cap)
         else:
             cap = bsr_blocks
             if need > cap:

@@ -177,6 +177,10 @@ class GraphLoader:
         self.bsr_blocks = (
             dataset.cfg.bsr_blocks if bsr_blocks is None else bsr_blocks
         )
+        # grow-only per-direction BSR cap floors shared across all batches
+        # this loader builds: one compiled train-step shape after warmup
+        # (benign worker races — dict writes are GIL-atomic, caps only grow)
+        self._sticky_caps: dict = {}
 
     def _epoch_order(self, epoch: int) -> np.ndarray:
         idx = np.arange(len(self.dataset))
@@ -203,11 +207,15 @@ class GraphLoader:
         fast = self.dataset.supports_fast_path()
         quantize_meta = not self.process_shard
 
+        sticky = None if self.process_shard else self._sticky_caps
+
         def build_slow(idxs):
             samples = [self.dataset.get(int(i), epoch) for i in idxs]
             batch = collate(samples, self.capacity, 0)
             if self.bsr_blocks > 0:
-                attach_bsr_meta(batch, self.bsr_blocks, quantize_meta)
+                attach_bsr_meta(
+                    batch, self.bsr_blocks, quantize_meta, sticky_caps=sticky
+                )
             return batch
 
         def bucket_capacity(idxs):
@@ -265,7 +273,9 @@ class GraphLoader:
                 batch["n_nodes"][bi] = n
                 batch["y"][bi] = y
             if self.bsr_blocks > 0:
-                attach_bsr_meta(batch, self.bsr_blocks, quantize_meta)
+                attach_bsr_meta(
+                    batch, self.bsr_blocks, quantize_meta, sticky_caps=sticky
+                )
             return batch
 
         if self.process_shard:
@@ -287,7 +297,15 @@ class GraphLoader:
 
         def build_task(idxs):
             batch = build(idxs)
-            return pack_wire(batch) if use_wire else batch
+            if not use_wire:
+                return batch
+            # dispatch the device transfer + unpack from the worker thread:
+            # through the axon tunnel every dispatch costs ~4 ms of calling-
+            # thread latency, which serializes the consumer when done at
+            # yield time; from the workers the latencies overlap and the
+            # consumer receives device-ready graphs
+            wire, layout = pack_wire(batch)
+            return wire_to_cellgraph(wire, layout, self.sharding)
 
         window = max(self.num_workers, self.prefetch + 1)
         with ThreadPoolExecutor(self.num_workers) as ex:
@@ -300,8 +318,7 @@ class GraphLoader:
                 # (the final batch may be smaller; jit caches one extra shape)
                 got = futs.popleft().result()
                 if use_wire:
-                    wire, layout = got
-                    yield wire_to_cellgraph(wire, layout, self.sharding)
+                    yield got
                 else:
                     yield batch_to_cellgraph(
                         got,

@@ -125,7 +125,23 @@ def evaluate(
     labels: dict[int, int] = {}
     metric = ImageLevelMetric()
     names = loader.dataset.names
+
+    def account(fetched):
+        logits, y_np, pidx_np = fetched
+        for i, pidx in enumerate(pidx_np):
+            pidx = int(pidx)
+            logit_sum[pidx] = logit_sum.get(pidx, 0.0) + logits[i]
+            labels[pidx] = int(y_np[i])
+            if vote_per_repeat:
+                metric.add_batch(
+                    [names[pidx]], [int(np.argmax(logits[i]))], [int(y_np[i])]
+                )
+
     for rep in range(test_time):
+        # one-batch-delay pipeline: dispatch the next batch's eval step
+        # before fetching the previous batch's results, so the device fetch
+        # (several ms through the axon tunnel) overlaps the next compute
+        pending = None
         for batch_idx, graph in enumerate(loader.epoch(rep)):
             if viz_step is not None and rep == 0 and visualized < visualize_max:
                 logits_d, assigns = viz_step(state, graph)
@@ -147,22 +163,19 @@ def evaluate(
                         n_nodes=n,
                     )
                     visualized += 1
+                cur = (logits, np.asarray(graph.y), np.asarray(graph.patch_idx))
             else:
-                logits = np.asarray(eval_step(state, graph))
-            y_np = np.asarray(graph.y)
-            for i, pidx in enumerate(np.asarray(graph.patch_idx)):
-                pidx = int(pidx)
-                logit_sum[pidx] = logit_sum.get(pidx, 0.0) + logits[i]
-                labels[pidx] = int(y_np[i])
-                if vote_per_repeat:
-                    metric.add_batch(
-                        [names[pidx]], [int(np.argmax(logits[i]))], [int(y_np[i])]
-                    )
+                cur = (eval_step(state, graph), graph.y, graph.patch_idx)
+            if pending is not None:
+                account(jax.device_get(pending))
+            pending = cur
             if (
                 max_num_examples is not None
                 and (batch_idx + 1) * graph.batch_size > max_num_examples
             ):
                 break
+        if pending is not None:
+            account(jax.device_get(pending))
     preds, gts = [], []
     for pidx, ls in logit_sum.items():
         pred = int(np.argmax(ls))
@@ -269,7 +282,7 @@ class Trainer:
     def _run_epoch(self, epoch: int) -> None:
         cfg = self.cfg.train
         t0 = time.perf_counter()
-        losses, edges = [], 0
+        losses, edge_counts = [], []
         for bi, graph in enumerate(self.train_loader.epoch(epoch)):
             self.state, metrics = self._train_step(self.state, graph)
             if (bi + 1) % cfg.log_every == 0:
@@ -282,15 +295,20 @@ class Trainer:
                         "acc": float(metrics["acc"]),
                     }
                 )
+            # keep metrics as device arrays — a per-batch int()/float() sync
+            # would stall the dispatch pipeline on the ~4 ms tunnel round
+            # trip; everything is reduced once at epoch end
             losses.append(metrics["loss"])
-            edges += int(metrics["edges"])
+            edge_counts.append(metrics["edges"])
             if (
                 cfg.eval_every_batches > 0
                 and (bi + 1) % cfg.eval_every_batches == 0
             ):
                 self._maybe_validate(epoch)
+        jax.block_until_ready(self.state.step)  # drain in-flight steps
         dt = time.perf_counter() - t0
         avg_loss = float(jnp.mean(jnp.stack(losses))) if losses else 0.0
+        edges = float(jnp.sum(jnp.stack(edge_counts))) if edge_counts else 0
         self._log(
             {
                 "kind": "epoch",

@@ -44,4 +44,10 @@ def make_optimizer(
     else:
         raise KeyError(f"Unsupported optim: {cfg.optim}")
     parts.append(optax.scale_by_schedule(lambda c: -sched(c)))
-    return optax.chain(*parts)
+    tx = optax.chain(*parts)
+    if getattr(cfg, "flatten_opt", False):
+        # one flat update vector instead of ~100 tiny per-leaf fusions; all
+        # transforms above are elementwise so values are bit-identical
+        # (torch-parity tests run both ways)
+        tx = optax.flatten(tx)
+    return tx

@@ -356,3 +356,42 @@ class TestFastPath:
             np.testing.assert_array_equal(
                 np.asarray(gf.nbr), np.asarray(gs.nbr)
             )
+
+
+def test_attach_bsr_meta_sticky_caps():
+    """Grow-only sticky caps: once a direction has compiled at cap C, later
+    batches with smaller need still emit cap-C metadata (one executable
+    shape), and a larger need grows the floor."""
+    from cgcnet_tpu.dataflow.dataset import attach_bsr_meta
+
+    def batch_with_spread(spread):
+        # 1280 nodes (10 row tiles); neighbours within `spread` column tiles
+        n, k = 1280, 4
+        rng = np.random.default_rng(spread)
+        nbr = rng.integers(0, min(spread * 128, n), (1, n, k)).astype(np.int32)
+        nbr = np.minimum(nbr, n - 1)
+        return {
+            "x": np.zeros((1, n, 2), np.float32),
+            "nbr": nbr,
+            "nbr_mask": np.ones((1, n, k), np.float32),
+            "nbr_t": nbr.copy(),
+            "nbr_t_mask": np.ones((1, n, k), np.float32),
+        }
+
+    sticky: dict = {}
+    b_wide = batch_with_spread(8)  # needs up to 8 blocks -> cap 8
+    attach_bsr_meta(b_wide, 16, quantize=True, sticky_caps=sticky)
+    cap_wide = b_wide["blk_cols"].shape[-1]
+
+    b_narrow = batch_with_spread(1)  # needs 1-2 blocks
+    attach_bsr_meta(b_narrow, 16, quantize=True, sticky_caps=sticky)
+    assert b_narrow["blk_cols"].shape[-1] == cap_wide  # floor held
+
+    # without sticky caps the narrow batch quantizes smaller (shape churn)
+    b_narrow2 = batch_with_spread(1)
+    attach_bsr_meta(b_narrow2, 16, quantize=True)
+    assert b_narrow2["blk_cols"].shape[-1] < cap_wide
+
+    # padding slots are inert: masks zero beyond the needed blocks
+    pad = b_narrow["blk_mask"][..., b_narrow2["blk_mask"].shape[-1]:]
+    assert float(pad.sum()) == 0.0
