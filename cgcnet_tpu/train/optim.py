@@ -48,6 +48,6 @@ def make_optimizer(
     if getattr(cfg, "flatten_opt", False):
         # one flat update vector instead of ~100 tiny per-leaf fusions; all
         # transforms above are elementwise so values are bit-identical
-        # (torch-parity tests run both ways)
+        # (tests/test_train.py::test_flatten_opt_bit_identical)
         tx = optax.flatten(tx)
     return tx

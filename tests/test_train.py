@@ -51,6 +51,42 @@ def test_optimizer_matches_torch(name, rng):
         )
 
 
+@pytest.mark.parametrize("name", ["adam", "sgd", "rmsprop"])
+def test_flatten_opt_bit_identical(name, rng):
+    """optax.flatten (train.flatten_opt) must not change values at all:
+    every transform in the chain is elementwise, so running the optimizer
+    on one concatenated vector is bit-identical to per-leaf updates."""
+    params = {
+        "a": jnp.asarray(rng.normal(size=(7, 3)).astype(np.float32)),
+        "b": {"w": jnp.asarray(rng.normal(size=(4,)).astype(np.float32)),
+              "v": jnp.asarray(rng.normal(size=(2, 2, 2)).astype(np.float32))},
+    }
+    grads_seq = [
+        jax.tree.map(
+            lambda p: jnp.asarray(
+                rng.normal(size=p.shape).astype(np.float32)
+            ),
+            params,
+        )
+        for _ in range(4)
+    ]
+    outs = []
+    for flat in (False, True):
+        cfg = TrainConfig(
+            optim=name, lr=0.01, weight_decay=1e-2, step_size=2,
+            flatten_opt=flat,
+        )
+        tx = make_optimizer(cfg, steps_per_epoch=2)
+        p = params
+        st = tx.init(p)
+        for g in grads_seq:
+            up, st = tx.update(g, st, p)
+            p = jax.tree.map(lambda x, u: x + u, p, up)
+        outs.append(p)
+    for a, b in zip(jax.tree.leaves(outs[0]), jax.tree.leaves(outs[1])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_step_lr_schedule():
     sched = step_lr_schedule(1.0, step_size=2, gamma=0.1, steps_per_epoch=10)
     assert sched(0) == 1.0
