@@ -70,7 +70,42 @@ def enable_compile_cache() -> None:
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
 
+def wait_for_backend(max_wait_s: float = 900.0, probe_timeout_s: float = 420.0) -> None:
+    """Block until the TPU backend answers a tiny matmul, retrying.
+
+    The axon tunnel flaps (backend init raises UNAVAILABLE for stretches);
+    a failed init is cached for the life of the process, so probe in a
+    SUBPROCESS and only touch jax here once a probe succeeds."""
+    import subprocess
+
+    deadline = time.monotonic() + max_wait_s
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax, jax.numpy as jnp;"
+                 "print(float(jnp.sum(jnp.ones((8,8)) @ jnp.ones((8,8)))))"],
+                timeout=probe_timeout_s, capture_output=True,
+            )
+            if r.returncode == 0:
+                return
+            err = r.stderr.decode(errors="replace")[-200:]
+        except subprocess.TimeoutExpired:
+            err = f"probe timed out after {probe_timeout_s:.0f}s"
+        if time.monotonic() > deadline:
+            print(f"backend probe {attempt} failed; giving up: {err}",
+                  file=sys.stderr)
+            return  # let the real run surface the error
+        print(f"backend probe {attempt} failed, retrying: {err}",
+              file=sys.stderr)
+        time.sleep(30)
+
+
 def main() -> None:
+    wait_for_backend()
+
     import jax
     import jax.numpy as jnp
 
