@@ -56,6 +56,11 @@ def main(argv=None) -> dict:
         "default: current backend",
     )
     p.add_argument(
+        "--symbolic-batch", action="store_true",
+        help="export with a symbolic batch dimension (one artifact, any "
+        "batch size; node capacity stays static)",
+    )
+    p.add_argument(
         "--pallas", action="store_true",
         help="bake the Pallas TPU kernels into the artifact (TPU-only, "
         "non-portable custom calls; requires BSR metadata at serve time)",
@@ -93,6 +98,7 @@ def main(argv=None) -> dict:
         CGCNet(cfg.model), variables, example,
         platforms=args.platform,
         allow_custom_calls=args.pallas,
+        symbolic_batch=args.symbolic_batch,
     )
     header["ckpt"] = str(args.ckpt)
     header["ckpt_epoch"] = meta.get("epoch")

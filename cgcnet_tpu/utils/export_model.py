@@ -53,6 +53,7 @@ def export_forward(
     *,
     platforms: Sequence[str] | None = None,
     allow_custom_calls: bool = False,
+    symbolic_batch: bool = False,
 ):
     """Export ``model.apply(variables, graph, train=False)`` -> logits.
 
@@ -61,6 +62,11 @@ def export_forward(
     fields as positional arrays, and ``header`` is the JSON-able metadata
     dict. ``platforms`` e.g. ``('tpu',)`` cross-lowers for TPU serving from
     any host; None exports for the current default backend.
+
+    ``symbolic_batch`` exports with a symbolic leading (batch) dimension so
+    one artifact serves any batch size; node capacity stays static (the
+    TPU-first shape contract). Off by default: fully static shapes let the
+    serving compiler specialize.
     """
     from jax import export as jexport
 
@@ -73,7 +79,14 @@ def export_forward(
         g = CellGraph(**dict(zip(fields, arrays)))
         return model.apply(variables, g, train=False)
 
-    specs = [jax.ShapeDtypeStruct(a.shape, a.dtype) for a in args]
+    if symbolic_batch:
+        (b,) = jexport.symbolic_shape("b")
+        specs = [
+            jax.ShapeDtypeStruct((b,) + tuple(a.shape[1:]), a.dtype)
+            for a in args
+        ]
+    else:
+        specs = [jax.ShapeDtypeStruct(a.shape, a.dtype) for a in args]
     checks = (
         [jexport.DisabledSafetyCheck.custom_call("tpu_custom_call")]
         if allow_custom_calls
@@ -88,9 +101,14 @@ def export_forward(
         "magic": _MAGIC,
         "fields": fields,
         "inputs": {
-            f: {"shape": list(a.shape), "dtype": str(np.dtype(a.dtype))}
+            f: {
+                "shape": (["b"] if symbolic_batch else [int(a.shape[0])])
+                + [int(d) for d in a.shape[1:]],
+                "dtype": str(np.dtype(a.dtype)),
+            }
             for f, a in zip(fields, args)
         },
+        "symbolic_batch": symbolic_batch,
         "platforms": list(exported.platforms),
         "jax_version": jax.__version__,
     }

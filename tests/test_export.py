@@ -50,6 +50,24 @@ def test_export_roundtrip_matches_apply(small_model, tmp_path_factory):
     np.testing.assert_allclose(got, want, atol=1e-5)
 
 
+def test_symbolic_batch_serves_any_batch(small_model, tmp_path_factory, rng):
+    """One artifact exported with a symbolic batch dim must serve batch 1
+    and 3 with logits matching model.apply."""
+    model, variables, g = small_model
+    exported, header = export_forward(
+        model, variables, g, symbolic_batch=True
+    )
+    assert header["symbolic_batch"] and header["inputs"]["x"]["shape"][0] == "b"
+    path = tmp_path_factory.mktemp("exp") / "model_sb.cgexp"
+    save_exported(exported, header, path)
+    fwd, _ = load_exported(path)
+    for bs in (1, 3):
+        gb = build_graph(rng, batch=bs, cap=g.capacity, n_lo=20, n_hi=60)
+        got = np.asarray(fwd(gb))
+        want = np.asarray(model.apply(variables, gb, train=False))
+        np.testing.assert_allclose(got, want, atol=1e-5)
+
+
 def test_export_is_shape_checked(small_model, tmp_path_factory):
     model, variables, g = small_model
     exported, header = export_forward(model, variables, g)
