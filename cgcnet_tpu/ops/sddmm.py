@@ -6,6 +6,11 @@ ops.ell.ell_gather_sum (SURVEY.md §4.1 kernel inventory). Used by
 edge-weighted / attention-style message passing (dot-product edge logits,
 optionally softmax-normalized per row) — a capability extension over the
 reference's binary adjacencies.
+
+The model-level attention consumer is ``nn.layers.GATConv`` (gcn_name='GAT'),
+which fuses the same score/softmax/aggregate pattern inline over all heads
+from one k/v gather; these standalone ops remain the building blocks for
+custom single-head / precomputed-score message passing.
 """
 
 from __future__ import annotations
