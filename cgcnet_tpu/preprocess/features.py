@@ -65,12 +65,15 @@ def local_entropy(gray: np.ndarray, radius: int = 3, levels: int = 256) -> np.nd
 
 def remove_small_instances(mask: np.ndarray, min_size: int = 10) -> np.ndarray:
     """Drop labelled instances below ``min_size`` pixels
-    (reference construct_feature_graph.py:58)."""
-    out = mask.copy()
+    (reference construct_feature_graph.py:58). One lookup-table pass — a
+    per-label full-image scan is O(labels * H * W) on a 3584^2 tile."""
     labels, counts = np.unique(mask[mask > 0], return_counts=True)
-    for lab in labels[counts < min_size]:
-        out[out == lab] = 0
-    return out
+    small = labels[counts < min_size]
+    if small.size == 0:
+        return mask.copy()
+    keep = np.ones(int(mask.max()) + 1, bool)
+    keep[small] = False
+    return np.where(keep[mask], mask, 0)
 
 
 # ---------------------------------------------------------------------------
@@ -104,15 +107,18 @@ def glcm_stats(mask: np.ndarray, intensity: np.ndarray):
     (reference common/nuc_feature.py:19-36)."""
     img = (intensity.astype(np.int32) * (mask > 0)).astype(np.int32)
     left, right = img[:, :-1].ravel(), img[:, 1:].ravel()
-    glcm = np.zeros((256, 256), np.float64)
-    np.add.at(glcm, (left, right), 1.0)
-    glcm = glcm[1:, 1:]  # filter background pairs (nuc_feature.py:24)
-    total = glcm.sum()
-    if total == 0:
+    # Sparse formulation: a nucleus crop has O(crop) co-occurring pairs, so
+    # never materialize the 256x256 GLCM (the dense version + mgrid was 70%
+    # of tile-scale extraction time). Dropping the matrix's first row/col
+    # (nuc_feature.py:24) == dropping pairs where either level is 0.
+    fg = (left > 0) & (right > 0)
+    if not fg.any():
         return 0.0, 0.0, 0.0, 0.0, 0.0
-    p = glcm / total
-    i, j = np.mgrid[0:255, 0:255]
-    d = np.abs(i - j)
+    keys = left[fg] * 256 + right[fg]
+    uniq, counts = np.unique(keys, return_counts=True)
+    p = counts.astype(np.float64) / counts.sum()
+    # within the [1:,1:] slice, |i-j| of the slice indices == |left-right|
+    d = np.abs((uniq // 256) - (uniq % 256)).astype(np.float64)
     contrast = float((p * d**2).sum())
     dissimilarity = float((p * d).sum())
     homogeneity = float((p / (1.0 + d**2)).sum())
