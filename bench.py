@@ -202,13 +202,17 @@ def main() -> None:
 
             out_state = jax.block_until_ready(many_steps(state))
             # fiction guard: a step whose params don't move (or a hoisted
-            # loop) must not be reported as throughput
-            delta = sum(
-                float(jnp.sum(jnp.abs(a.astype(jnp.float32) - b.astype(jnp.float32))))
-                for a, b in zip(
-                    jax.tree.leaves(state.params),
-                    jax.tree.leaves(out_state.params),
-                )
+            # loop) must not be reported as throughput. ONE jitted tree
+            # reduction + ONE fetch — a per-leaf float() would pay ~100
+            # sequential ~4 ms tunnel round trips
+            delta = float(
+                jax.jit(
+                    lambda p, q: sum(
+                        jnp.sum(jnp.abs(a.astype(jnp.float32)
+                                        - b.astype(jnp.float32)))
+                        for a, b in zip(jax.tree.leaves(p), jax.tree.leaves(q))
+                    )
+                )(state.params, out_state.params)
             )
             t_step = float("inf")
             for _ in range(3):

@@ -21,11 +21,12 @@ import json
 import sys
 
 
-def _serving_graph(cfg, batch: int):
+def _serving_graph(cfg, batch: int, pallas: bool = False, kt: int = 24):
     """An all-padding CellGraph batch at the serving shapes: export only
-    consumes shapes/dtypes. Transpose tables are omitted (eval needs no
-    VJP); BSR metadata is omitted (the portable XLA path serves anywhere —
-    --pallas re-adds it)."""
+    consumes shapes/dtypes. The portable default omits transpose tables
+    (eval needs no VJP) and BSR metadata; ``pallas`` includes both so the
+    traced graph takes the Pallas block-sparse path and the artifact's
+    signature accepts loader-built BSR metadata at serve time."""
     import numpy as np
     import jax.numpy as jnp
 
@@ -37,11 +38,23 @@ def _serving_graph(cfg, batch: int):
     k = cfg.data.max_neighbours
     f = cfg.data.num_features
     own = np.tile(np.arange(cap, dtype=np.int32)[None, :, None], (batch, 1, k))
+    extra = {}
+    if pallas:
+        r, m = cap // 128, max(cfg.data.bsr_blocks, 1)
+        extra = {
+            "nbr_t": jnp.asarray(np.tile(own[..., :1], (1, 1, kt))),
+            "nbr_t_mask": jnp.zeros((batch, cap, kt), jnp.float32),
+            "blk_cols": jnp.zeros((batch, r, m), jnp.int32),
+            "blk_mask": jnp.zeros((batch, r, m), jnp.float32),
+            "blk_cols_t": jnp.zeros((batch, r, m), jnp.int32),
+            "blk_mask_t": jnp.zeros((batch, r, m), jnp.float32),
+        }
     return CellGraph(
         x=jnp.zeros((batch, cap, f), jnp.float32),
         nbr=jnp.asarray(own),
         nbr_mask=jnp.zeros((batch, cap, k), jnp.float32),
         n_nodes=jnp.zeros((batch,), jnp.int32),
+        **extra,
     )
 
 
@@ -63,14 +76,16 @@ def main(argv=None) -> dict:
     p.add_argument(
         "--pallas", action="store_true",
         help="bake the Pallas TPU kernels into the artifact (TPU-only, "
-        "non-portable custom calls; requires BSR metadata at serve time)",
+        "non-portable custom calls; the signature then takes loader-built "
+        "BSR metadata + transpose tables; export must run ON a TPU-backed "
+        "host — Mosaic does not cross-lower from CPU)",
     )
     p.add_argument("overrides", nargs="*")
     args = p.parse_args(argv)
 
     from cgcnet_tpu.config import Config
     from cgcnet_tpu.nn.model import CGCNet
-    from cgcnet_tpu.train.checkpoint import load_checkpoint
+    from cgcnet_tpu.train.checkpoint import load_partial
     from cgcnet_tpu.train.optim import make_optimizer
     from cgcnet_tpu.train.state import create_train_state
     from cgcnet_tpu.utils.export_model import export_forward, save_exported
@@ -80,18 +95,31 @@ def main(argv=None) -> dict:
         [f"model.max_num_nodes={cfg.data.max_num_nodes}",
          f"model.input_dim={cfg.data.num_features}"]
     )
-    if not args.pallas:
+    if args.pallas:
+        import jax
+
+        if jax.default_backend() != "tpu":
+            p.error(
+                "--pallas needs a TPU-backed host at export time: Mosaic "
+                "kernels only lower on the TPU backend (jax raises 'Only "
+                "interpret mode is supported on CPU backend' otherwise). "
+                "Export the portable artifact from this host instead."
+            )
+        # trace through the Pallas block-sparse path unconditionally
+        cfg = cfg.apply_overrides(["model.use_pallas=always"])
+    else:
         # portable artifact: force the XLA aggregation path at trace time
         cfg = cfg.apply_overrides(["model.use_pallas=never"])
 
-    example = _serving_graph(cfg, args.batch)
+    example = _serving_graph(cfg, args.batch, pallas=args.pallas)
     tx = make_optimizer(cfg.train, steps_per_epoch=1)
     model, state = create_train_state(cfg, tx, example)
-    state, meta = load_checkpoint(args.ckpt, state)
-    print(
-        f"loaded {args.ckpt} (epoch {meta.get('epoch', '?')})",
-        file=sys.stderr,
-    )
+    # partial restore: the artifact needs params/batch_stats only, so a
+    # checkpoint saved under a different optimizer layout (e.g. the other
+    # train.flatten_opt setting) still exports
+    state, copied, _ = load_partial(args.ckpt, state)
+    assert any("params/" in k for k in copied), f"no params in {args.ckpt}"
+    print(f"loaded {args.ckpt} ({len(copied)} leaves)", file=sys.stderr)
 
     variables = {"params": state.params, "batch_stats": state.batch_stats}
     exported, header = export_forward(
@@ -101,7 +129,6 @@ def main(argv=None) -> dict:
         symbolic_batch=args.symbolic_batch,
     )
     header["ckpt"] = str(args.ckpt)
-    header["ckpt_epoch"] = meta.get("epoch")
     path = save_exported(exported, header, args.out)
     size = path.stat().st_size
     result = {

@@ -457,8 +457,13 @@ def attach_bsr_meta(
         if quantize:
             floor = sticky_caps.get(di, 0) if sticky_caps is not None else 0
             cap = next((c for c in caps if c >= max(need, floor)), None)
-            if sticky_caps is not None and cap is not None:
-                sticky_caps[di] = max(floor, cap)
+            usable = cap is not None and cap <= max(bsr_blocks, 4)
+            if sticky_caps is not None and usable:
+                # record only USABLE caps (an oversized batch must not poison
+                # the floor and push every later batch past the ceiling), and
+                # re-read at write time so a stale floor from a concurrent
+                # worker thread can never shrink the recorded cap
+                sticky_caps[di] = max(sticky_caps.get(di, 0), cap)
         else:
             cap = bsr_blocks
             if need > cap:

@@ -56,7 +56,35 @@ def load_checkpoint(path: str | Path, target: Any) -> tuple[Any, dict]:
         path = path / "model_best.msgpack"
     if not path.is_file():
         raise FileNotFoundError(f"=> No checkpoint found at '{path}'")
-    state = serialization.from_bytes(target, path.read_bytes())
+    def _mismatch(detail):
+        # the most common structure mismatch: optimizer state saved with the
+        # other train.flatten_opt setting (optax.flatten collapses all
+        # per-leaf moments into one flat vector)
+        return ValueError(
+            f"checkpoint '{path}' does not match the target state structure "
+            "— if it was saved with a different train.flatten_opt setting, "
+            "resume with that setting (or use load_partial, which restores "
+            "params/batch_stats and skips mismatched optimizer state): "
+            f"{detail}"
+        )
+
+    try:
+        state = serialization.from_bytes(target, path.read_bytes())
+    except (ValueError, KeyError) as e:
+        raise _mismatch(e) from e
+    # flax from_state_dict replaces leaves WITHOUT validating them — a
+    # checkpoint with differently-shaped (or dict-valued) leaves would
+    # restore silently and explode later inside the optimizer. Validate
+    # every leaf shape against the target up front.
+    import numpy as np
+
+    if jax.tree.structure(state) != jax.tree.structure(target):
+        raise _mismatch("restored pytree structure differs from the target")
+    for t_leaf, s_leaf in zip(jax.tree.leaves(target), jax.tree.leaves(state)):
+        if np.shape(t_leaf) != np.shape(s_leaf):
+            raise _mismatch(
+                f"leaf shape {np.shape(s_leaf)} != target {np.shape(t_leaf)}"
+            )
     meta_path = path.with_suffix(".json")
     meta = json.loads(meta_path.read_text()) if meta_path.is_file() else {}
     return state, meta
@@ -67,15 +95,20 @@ def load_partial(path: str | Path, target: Any) -> tuple[Any, list[str], list[st
     shape-mismatched entries (reference ``copy_state_dict``,
     common/utils.py:96-116). Returns (state, copied, skipped)."""
     import numpy as np
-    from flax.traverse_util import flatten_dict, unflatten_dict
+    from flax.traverse_util import empty_node, flatten_dict, unflatten_dict
 
     path = Path(path)
     raw = serialization.msgpack_restore(path.read_bytes())
     flat_src = flatten_dict(raw, sep="/")
     state_dict = serialization.to_state_dict(target)
-    flat_dst = flatten_dict(state_dict, sep="/")
+    # keep_empty_nodes: optax chains contain EmptyState entries whose state
+    # dict is {} — dropping them breaks the list-length round trip through
+    # from_state_dict (opt_state is a list pytree)
+    flat_dst = flatten_dict(state_dict, sep="/", keep_empty_nodes=True)
     copied, skipped = [], []
     for k, v in flat_dst.items():
+        if v is empty_node:
+            continue
         if k in flat_src and np.shape(flat_src[k]) == np.shape(v):
             flat_dst[k] = flat_src[k]
             copied.append(k)

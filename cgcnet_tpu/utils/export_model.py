@@ -21,7 +21,8 @@ Default export uses the portable XLA-gather aggregation path
 (model.use_pallas='never' semantics at trace time): Mosaic TPU kernels
 lower to backend-specific custom calls that jax.export flags as
 non-portable. Pass ``allow_custom_calls=True`` to bake the Pallas BSR /
-assign-head kernels into a TPU-only artifact.
+assign-head kernels into a TPU-only artifact — possible only when exporting
+ON a TPU-backed host (Mosaic does not cross-lower from CPU).
 """
 
 from __future__ import annotations

@@ -25,6 +25,51 @@ def test_load_partial(tmp_path, rng):
     assert copied == ["a"] and sorted(skipped) == ["b", "c"]
 
 
+def test_load_partial_across_optimizer_layouts(tmp_path, rng):
+    """A checkpoint saved under one train.flatten_opt setting must still
+    yield its params/batch_stats into a state built under the other setting
+    (inference CLIs restore via load_partial for exactly this)."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from __graft_entry__ import _example_graph
+    from cgcnet_tpu.config import Config
+    from cgcnet_tpu.train.checkpoint import load_checkpoint
+    from cgcnet_tpu.train.optim import make_optimizer
+    from cgcnet_tpu.train.state import create_train_state
+
+    graph = _example_graph(batch=2, cap=128, bsr_blocks=0)
+    states = {}
+    for flat in (True, False):
+        cfg = Config().apply_overrides(
+            ["model.max_num_nodes=256",
+             f"train.flatten_opt={'true' if flat else 'false'}"]
+        )
+        tx = make_optimizer(cfg.train, steps_per_epoch=1)
+        _, states[flat] = create_train_state(cfg, tx, graph)
+    save_checkpoint(tmp_path, states[False], epoch=3)
+
+    # full restore into the other layout fails with a CLEAR error
+    try:
+        load_checkpoint(tmp_path / "weight.msgpack", states[True])
+        raise AssertionError("expected a structure-mismatch error")
+    except ValueError as e:
+        assert "flatten_opt" in str(e)
+
+    # partial restore carries every param/batch_stat across layouts
+    restored, copied, _ = load_partial(tmp_path / "weight.msgpack", states[True])
+    assert any(k.startswith("params/") for k in copied)
+    for a, b in zip(
+        jax.tree.leaves(restored.params), jax.tree.leaves(states[False].params)
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(
+        jax.tree.leaves(restored.batch_stats),
+        jax.tree.leaves(states[False].batch_stats),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_bf16_forward(rng):
     import sys
 

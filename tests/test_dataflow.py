@@ -395,3 +395,36 @@ def test_attach_bsr_meta_sticky_caps():
     # padding slots are inert: masks zero beyond the needed blocks
     pad = b_narrow["blk_mask"][..., b_narrow2["blk_mask"].shape[-1]:]
     assert float(pad.sum()) == 0.0
+
+
+def test_attach_bsr_meta_oversized_batch_does_not_poison_floor():
+    """One batch past the BSR ceiling falls back to XLA for ITSELF only —
+    its (unusable) cap must not be recorded as the sticky floor, or every
+    later batch would also fall back."""
+    import warnings
+    from cgcnet_tpu.dataflow.dataset import attach_bsr_meta
+
+    def batch_with_spread(spread, seed=0):
+        n, k = 1280, 4
+        rng = np.random.default_rng((spread, seed))
+        nbr = rng.integers(0, min(spread * 128, n), (1, n, k)).astype(np.int32)
+        nbr = np.minimum(nbr, n - 1)
+        return {
+            "x": np.zeros((1, n, 2), np.float32),
+            "nbr": nbr,
+            "nbr_mask": np.ones((1, n, k), np.float32),
+            "nbr_t": nbr.copy(),
+            "nbr_t_mask": np.ones((1, n, k), np.float32),
+        }
+
+    sticky: dict = {}
+    wide = batch_with_spread(10)  # needs ~10 blocks > ceiling 8
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        attach_bsr_meta(wide, 8, quantize=True, sticky_caps=sticky)
+    assert "blk_cols" not in wide          # that batch fell back
+    assert sticky.get(0, 0) <= 8           # floor not poisoned
+
+    narrow = batch_with_spread(2)
+    attach_bsr_meta(narrow, 8, quantize=True, sticky_caps=sticky)
+    assert "blk_cols" in narrow            # later batches keep BSR

@@ -104,6 +104,31 @@ def test_export_bad_magic_rejected(tmp_path):
         load_exported(p)
 
 
+def test_pallas_export_rejected_on_cpu_host():
+    """--pallas needs Mosaic lowering, which only the TPU backend provides —
+    the CLI must fail fast with a clear message, not write a silent
+    XLA-path artifact."""
+    from cgcnet_tpu.cli.export import main as export_main
+
+    with pytest.raises(SystemExit):
+        export_main(["--ckpt", "x.msgpack", "-o", "y.cgexp", "--pallas"])
+
+
+def test_pallas_serving_graph_carries_bsr_signature():
+    """pallas=True serving graphs must expose transpose tables + BSR
+    metadata so the exported signature accepts loader-built metadata."""
+    from cgcnet_tpu.cli.export import _serving_graph
+    from cgcnet_tpu.config import Config
+
+    cfg = Config().apply_overrides(["data.max_num_nodes=512"])
+    g = _serving_graph(cfg, 2, pallas=True)
+    assert g.nbr_t is not None and g.blk_cols is not None
+    assert g.blk_cols.shape[1] == g.capacity // 128
+    assert g.blk_cols.shape[2] == cfg.data.bsr_blocks
+    g0 = _serving_graph(cfg, 2, pallas=False)
+    assert g0.nbr_t is None and g0.blk_cols is None
+
+
 def test_export_cli_end_to_end(tmp_path, rng):
     """Train 1 synthetic epoch -> export the checkpoint -> serve logits that
     match a fresh model.apply with the same weights."""
