@@ -180,15 +180,21 @@ class CGCNet(fnn.Module):
         # fused assign softmax: one Pallas pass computes S in both consumer
         # layouts (ops/pallas/assign_head.py) — engaged alongside the BSR
         # kernel ('auto') when shapes tile by 128
-        fsm = c.fused_assign_softmax
-        if fsm == "auto":
-            fsm = adj.impl == "pallas"
-        fsm = bool(fsm) and c.fold_assign_tail and graph.capacity % 128 == 0
+        def tri_state(v, auto) -> bool:
+            # 'auto'/'always'/'never' or a real bool — NEVER bool() a string
+            # (bool("never") is True, which would invert the disable value)
+            if isinstance(v, str):
+                return {"auto": auto, "always": True, "never": False}[v]
+            return bool(v)
+
+        fsm = tri_state(c.fused_assign_softmax, adj.impl == "pallas")
+        # the fused tail folds BN into the lin kernel — without BN there is
+        # no folded tail to fuse (GNNBlock.folds_tail requires use_bn)
+        fsm = fsm and c.fold_assign_tail and c.bn and graph.capacity % 128 == 0
         # deeper fold: normalize/relu/BN-stats recomputed in VMEM from the
         # raw conv3 lin output (SAGE+relu only — relies on relu's positive
         # homogeneity, nn/blocks.py::folds_norm)
-        fan = c.fused_assign_norm
-        fan = fsm if fan == "auto" else bool(fan)
+        fan = tri_state(c.fused_assign_norm, fsm)
         fan = fan and fsm and c.gcn_name == "SAGE" and c.activation == "relu"
         pool_mode: bool | str = "pre" if fan else fsm
 

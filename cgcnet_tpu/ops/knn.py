@@ -50,6 +50,11 @@ def radius_knn_np(
     within = d2 <= r2
     if not loop:
         np.fill_diagonal(within, False)
+    else:
+        # self sorts strictly first even among coincident points (distance-0
+        # ties would otherwise displace it by index order) — the BSR path
+        # folds the self weight into ELL slot 0 and relies on this contract
+        np.fill_diagonal(d2, -1.0)
     for i in range(n):
         (cand,) = np.nonzero(within[i])
         if scan_order:
@@ -99,6 +104,9 @@ def radius_knn_jnp(
     # radius_knn_np's lexsort bit-for-bit; a fractional score bias would
     # mis-order near-equal f32 distances at large n.
     d2_key = jnp.where(ok, d2, jnp.inf)
+    # self sorts strictly first even among coincident points (slot-0 self
+    # contract, same as radius_knn_np's -1 diagonal)
+    d2_key = d2_key.at[idx, idx].set(jnp.where(valid, -1.0, jnp.inf))
     idx_b = jnp.broadcast_to(idx[None, :], (n, n))
     d2_sorted, nbr_sorted = jax.lax.sort((d2_key, idx_b), num_keys=2)
     vals, nbr = d2_sorted[:, :k], nbr_sorted[:, :k]

@@ -248,7 +248,10 @@ def sharded_gather_sum(
     Global-view args (sharded over ``axis`` on the leading dim):
       x         f32[N, F]      node features (N = D * Ns)
       nbr_remap i32[N, K]      per-shard remapped neighbours (stacked)
-      nbr_mask  f32[N, K]
+      nbr_mask  f32[N, K]      UNUSED here (w already folds the mask); kept
+                               so this signature matches the _overlap
+                               variant, which needs the raw mask — callers
+                               switch between the two behind a config flag
       w         f32[N, K]      edge weights (mask folded)
       req_idx   i32[D*D, P]    send tables (stacked shard-major)
       req_mask  f32[D*D, P]

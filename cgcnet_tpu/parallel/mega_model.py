@@ -117,18 +117,23 @@ def _act(name):
     return activation(name)
 
 
-def _bn_moments(stats, h, valid, axis, train: bool):
+def _bn_moments(stats, h, valid, axis, train: bool, replicated: bool = False):
     """(mean, var, upd) of the cross-shard psum BatchNorm; ``upd`` carries
     the torch-momentum-0.1 running-stat update in train mode (biased batch
     mean, unbiased variance) so slide training tracks running statistics
-    like TorchBatchNorm does."""
+    like TorchBatchNorm does.
+
+    ``replicated``: the post-pool dense stages compute IDENTICAL h on every
+    shard, so the psum'd count is D x the real row count — mean/var cancel
+    the factor but Bessel's correction must use the true count."""
     upd = None
     if train:
         m = valid[:, None]
         cnt = jax.lax.psum(jnp.sum(m), axis)
         mean = jax.lax.psum(jnp.sum(h * m, 0), axis) / cnt
         var = jax.lax.psum(jnp.sum((h - mean) ** 2 * m, 0), axis) / cnt
-        unbiased = var * cnt / jnp.maximum(cnt - 1.0, 1.0)
+        true_cnt = cnt / jax.lax.psum(1.0, axis) if replicated else cnt
+        unbiased = var * true_cnt / jnp.maximum(true_cnt - 1.0, 1.0)
         old_mean = stats["mean"] if stats else jnp.zeros_like(mean)
         old_var = stats["var"] if stats else jnp.ones_like(var)
         upd = {
@@ -140,9 +145,9 @@ def _bn_moments(stats, h, valid, axis, train: bool):
     return mean, var, upd
 
 
-def _bn(p, stats, h, valid, axis, train: bool):
+def _bn(p, stats, h, valid, axis, train: bool, replicated: bool = False):
     """BatchNorm over all real nodes of the global graph (psum stats)."""
-    mean, var, upd = _bn_moments(stats, h, valid, axis, train)
+    mean, var, upd = _bn_moments(stats, h, valid, axis, train, replicated)
     out = (h - mean) * jax.lax.rsqrt(var + 1e-5) * p["scale"] + p["bias"]
     return out, upd
 
@@ -221,7 +226,7 @@ def _gat_conv(gp, h, agg, valid, cfg: ModelConfig):
 
 def _stage1_block(
     params, stats, name, x, agg, valid, cfg: ModelConfig, axis, train,
-    lin: bool, stats_out: dict | None = None,
+    lin: bool, stats_out: dict | None = None, replicated: bool = False,
 ):
     """GNN block over sharded nodes; ``agg`` maps h -> A @ h."""
     p, s = params[name], (stats or {}).get(name, {})
@@ -251,7 +256,8 @@ def _stage1_block(
         out = act(out)
         if cfg.bn and not (fold3 and i == 3):
             out, upd = _bn(
-                p[f"bn{i}"], s.get(f"bn{i}"), out, valid, axis, train
+                p[f"bn{i}"], s.get(f"bn{i}"), out, valid, axis, train,
+                replicated,
             )
             if upd is not None and stats_out is not None:
                 stats_out.setdefault(name, {})[f"bn{i}"] = upd
@@ -260,7 +266,7 @@ def _stage1_block(
     if fold3:
         h3a = outs[2]  # pre-BN activation (valid-masked)
         mean, var, upd = _bn_moments(
-            s.get("bn3"), h3a, valid, axis, train
+            s.get("bn3"), h3a, valid, axis, train, replicated
         )
         if upd is not None and stats_out is not None:
             stats_out.setdefault(name, {})["bn3"] = upd
@@ -283,6 +289,9 @@ def _stage1_block(
 def _jk(p, h, channels: int, layers: int = 3):
     """DenseJK over sharded nodes — per-node op, no communication."""
     n = h.shape[0]
+    # same contract check as nn.jk.DenseJK: the concat must be exactly
+    # `layers` slices of `channels`
+    assert h.shape[-1] == channels * layers, (h.shape, channels, layers)
     x = jnp.stack(jnp.split(h, layers, axis=-1), 1)  # [n, T, C]
     lp = p["lstm"]
 
@@ -352,15 +361,26 @@ class _ShardedAdj:
         if cfg.norm_adj:
             p = cfg.self_weight
             self.scale = (1.0 - p) / (deg + EPS) * inputs.valid
-            self.self_w = p
+            self.self_w = p * inputs.valid
             # renormalized rows sum to <= 1, so SAGE's clamp(min=1) pins the
             # mean denominator at exactly 1 — same contract as
             # nn.model.make_stage1_adj (keeps any cfg.self_weight consistent)
             self._rowsum = jnp.ones_like(deg)
         else:
+            # binary adjacency: contribute a self loop only where the graph
+            # actually carries one — same has_self detection as
+            # nn.model.make_stage1_adj:82-85 (a loop=False global graph must
+            # not grow phantom diagonals on the mega path)
+            has_self = jnp.max(
+                inputs.nbr_mask
+                * (inputs.nbr_remap == row[:, None]).astype(
+                    inputs.nbr_mask.dtype
+                ),
+                axis=-1,
+            )
             self.scale = inputs.valid
-            self.self_w = 1.0
-            self._rowsum = (deg + 1.0) * inputs.valid
+            self.self_w = has_self * inputs.valid
+            self._rowsum = (deg + has_self) * inputs.valid
 
     def concat_halo(self, h):
         """[Ns, F] -> [Ns + halo, F]: local rows followed by the exchanged
@@ -386,7 +406,7 @@ class _ShardedAdj:
                 self.vals, self.inp.blk_cols[None],
                 self.vals_t, self.inp.blk_cols_t[None], xx,
             )
-            return self.scale[:, None] * agg + self.self_w * h
+            return self.scale[:, None] * agg + self.self_w[:, None] * h
         if self.overlap:
             ns = h.shape[0]
             slot_local = jnp.where(self.inp.nbr_mask > 0, nbr, 0) < ns
@@ -404,7 +424,7 @@ class _ShardedAdj:
         else:
             hh = self.concat_halo(h)
             agg = ell_gather_sum(nbr[None], w[None], hh[None])[0]
-        return self.scale[:, None] * agg + self.self_w * h
+        return self.scale[:, None] * agg + self.self_w[:, None] * h
 
     def rowsum(self):
         return self._rowsum
@@ -420,6 +440,7 @@ def mega_forward(
     axis: str = "graph",
     halo_overlap: bool = False,
     return_stats: bool = False,
+    dropout_rng=None,
 ) -> jax.Array:
     """Logits [3] for one whole-slide graph. Parameters replicated; graph
     sharded over ``axis``. ``halo_overlap`` structures stage-1 aggregation
@@ -431,12 +452,22 @@ def mega_forward(
 
     ``return_stats`` (train only): also return the updated batch_stats tree
     (cross-shard psum statistics blended with torch momentum 0.1) so slide
-    training tracks running BN stats — reference SyncBatchNorm analog."""
+    training tracks running BN stats — reference SyncBatchNorm analog.
+
+    ``dropout_rng`` (train only): PRNG key for the prediction-head dropout
+    (CGCNet applies Dropout(cfg.drop_out) between pred layers in train mode,
+    nn/model.py:250-252 — slide fine-tuning must regularize the same way).
+    The head runs replicated, so every shard uses the same key. None
+    disables dropout."""
     params = variables["params"]
     stats = variables.get("batch_stats", {})
     d1, d2 = cfg.assign_dims
+    use_dropout = train and cfg.drop_out > 0 and dropout_rng is not None
+    rng_data = jax.random.key_data(
+        dropout_rng if dropout_rng is not None else jax.random.key(0)
+    )
 
-    def fn(params, stats, inp: MegaInputs):
+    def fn(params, stats, inp: MegaInputs, rng_data):
         x, valid = inp.x, inp.valid
         adj = _ShardedAdj(inp, cfg, axis, overlap=halo_overlap)
         neg = jnp.finfo(x.dtype).min
@@ -465,7 +496,7 @@ def mega_forward(
         # ---- stages 2-3 (replicated) ----
         from cgcnet_tpu.ops.ell import renorm_dense
 
-        def dense_stage(name, jk_name, xx, aa, lin_assign=None):
+        def dense_agg(aa):
             class DenseAgg:
                 dense_adj = aa
 
@@ -475,10 +506,13 @@ def mega_forward(
                 def rowsum(self):
                     return jnp.sum(aa, -1)
 
+            return DenseAgg()
+
+        def dense_stage(name, jk_name, xx, aa):
             ones = jnp.ones(xx.shape[0], xx.dtype)
             emb = _stage1_block(
-                params, stats, name, xx, DenseAgg(), ones, cfg, axis, train,
-                lin=False, stats_out=stats_out,
+                params, stats, name, xx, dense_agg(aa), ones, cfg, axis,
+                train, lin=False, stats_out=stats_out, replicated=True,
             )
             if cfg.jk:
                 emb = _jk(params[jk_name], emb, cfg.hidden_dim)
@@ -490,18 +524,9 @@ def mega_forward(
         read2 = jnp.max(embed2, 0)
         ones = jnp.ones(x_pool.shape[0], x_pool.dtype)
 
-        class DenseAgg2:
-            dense_adj = adj_pool
-
-            def __call__(self, h):
-                return adj_pool @ h
-
-            def rowsum(self):
-                return jnp.sum(adj_pool, -1)
-
         assign2 = _stage1_block(
-            params, stats, "pool2", x_pool, DenseAgg2(), ones, cfg, axis,
-            train, lin=True, stats_out=stats_out,
+            params, stats, "pool2", x_pool, dense_agg(adj_pool), ones, cfg,
+            axis, train, lin=True, stats_out=stats_out, replicated=True,
         )
         s2 = jax.nn.softmax(assign2, -1)
         x3 = s2.T @ embed2
@@ -516,6 +541,15 @@ def mega_forward(
         act = _act(cfg.activation)
         for i, _ in enumerate(cfg.pred_hidden_dims):
             h = act(_linear(params[f"pred_{i}"], h))
+            if use_dropout:
+                # flax.linen.Dropout semantics: keep w.p. 1-rate, scale by
+                # 1/(1-rate) — the head is replicated so one shared key
+                keep = jax.random.bernoulli(
+                    jax.random.fold_in(jax.random.wrap_key_data(rng_data), i),
+                    1.0 - cfg.drop_out,
+                    h.shape,
+                )
+                h = jnp.where(keep, h / (1.0 - cfg.drop_out), 0.0)
         logits = _linear(params["pred_out"], h)
         if return_stats:
             return logits, stats_out
@@ -526,8 +560,8 @@ def mega_forward(
     shard_fn = jax.shard_map(
         fn,
         mesh=mesh,
-        in_specs=(P(), P(), inp_specs),
+        in_specs=(P(), P(), inp_specs, P()),
         out_specs=out_specs,
         check_vma=False,
     )
-    return shard_fn(params, stats, inputs)
+    return shard_fn(params, stats, inputs, rng_data)

@@ -30,12 +30,14 @@ def make_slide_train_step(
     with torch momentum 0.1, so slide-finetuned checkpoints evaluate with
     their own statistics."""
 
-    def step(params, batch_stats, opt_state, inputs: MegaInputs, label):
+    def step(params, batch_stats, opt_state, inputs: MegaInputs, label,
+             dropout_rng=None):
         def loss_fn(p):
             logits, new_stats = mega_forward(
                 {"params": p, "batch_stats": batch_stats},
                 cfg, inputs, mesh, train=True,
                 halo_overlap=halo_overlap, return_stats=True,
+                dropout_rng=dropout_rng,
             )
             logp = jax.nn.log_softmax(logits)
             return -logp[label], new_stats
@@ -61,18 +63,23 @@ def train_slides(
     *,
     lr: float = 1e-3,
     epochs: int = 1,
+    seed: int = 0,
 ) -> tuple[dict, list[float]]:
-    """Minimal slide-level fine-tuning loop. Returns (variables, losses)."""
+    """Minimal slide-level fine-tuning loop. Returns (variables, losses).
+    Head dropout (cfg.drop_out, matching patch training) is driven by a
+    per-step fold of ``seed``."""
     tx = optax.adam(lr)
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
     opt_state = tx.init(params)
     step = jax.jit(make_slide_train_step(cfg, tx, mesh))
     losses = []
-    for _ in range(epochs):
-        for inputs, label in slides:
+    base = jax.random.key(seed)
+    for epoch in range(epochs):
+        for si, (inputs, label) in enumerate(slides):
             params, batch_stats, opt_state, loss = step(
-                params, batch_stats, opt_state, inputs, jnp.asarray(label)
+                params, batch_stats, opt_state, inputs, jnp.asarray(label),
+                jax.random.fold_in(base, epoch * len(slides) + si),
             )
             losses.append(float(loss))
     return {**variables, "params": params, "batch_stats": batch_stats}, losses

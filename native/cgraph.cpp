@@ -138,9 +138,11 @@ int radius_knn(const float* pos, int64_t n, float radius, int k,
         const float dy = bys[b] - yi;
         if (dy > w) break;  // y-sorted: nothing closer follows
         const float ddx = bxs[b] - xi;
-        const float d2 = ddx * ddx + dy * dy;
-        if (d2 > bound) continue;
         const int64_t j = order[b];
+        // self sorts strictly first even among coincident points (slot-0
+        // self contract, matches ops/knn.py's -1 diagonal)
+        const float d2 = j == i ? -1.0f : ddx * ddx + dy * dy;
+        if (d2 > bound) continue;
         if (kk == k && d2 == bd[k - 1] && j > bj[k - 1]) continue;
         // insertion position: nearest first, ties by lower index (same
         // order as ops/knn.py's lexsort; self d2=0 wins slot 0)

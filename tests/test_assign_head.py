@@ -259,3 +259,43 @@ def test_model_fused_softmax_matches_unfused(rng):
         ),
         g_on, g_off,
     )
+
+
+def test_never_actually_disables_fusion(rng):
+    """'never' is a string — bool("never") is True, so the tri-state must be
+    decoded explicitly: with fused_assign_softmax='never' the model must run
+    the UNFUSED tail (here: on CPU without interpret mode, where the fused
+    Pallas kernel cannot even compile on a 128-multiple capacity)."""
+    from cgcnet_tpu.config import ModelConfig
+    from cgcnet_tpu.nn.model import CGCNet
+    from tests.test_model import build_graph
+
+    g = build_graph(rng, batch=1, cap=128, n_lo=40, n_hi=100)
+    cfg = ModelConfig(
+        max_num_nodes=256, use_pallas=False,
+        fused_assign_softmax="never", fused_assign_norm="never",
+    )
+    model = CGCNet(cfg)
+    v = model.init(jax.random.key(0), g, train=False)
+    out = np.asarray(model.apply(v, g, train=False))
+    assert np.isfinite(out).all()
+
+
+def test_fusion_requires_bn(rng):
+    """model.bn=false must fall back to the unfused tail (folds_tail needs
+    BN), not trip paired_blocks' assert at trace time."""
+    import cgcnet_tpu.ops.pallas.assign_head as _ah
+    import cgcnet_tpu.ops.pallas.bsr_kernel as _bsr
+    from cgcnet_tpu.config import ModelConfig
+    from cgcnet_tpu.nn.model import CGCNet
+    from tests.test_model import build_graph
+
+    g = build_graph(rng, batch=1, cap=128, n_lo=40, n_hi=100)
+    cfg = ModelConfig(
+        max_num_nodes=256, use_pallas=False, bn=False,
+        fused_assign_softmax="always",
+    )
+    model = CGCNet(cfg)
+    v = model.init(jax.random.key(0), g, train=False)
+    out = np.asarray(model.apply(v, g, train=False))
+    assert np.isfinite(out).all()

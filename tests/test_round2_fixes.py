@@ -80,6 +80,36 @@ def test_radius_knn_jnp_ties_random(rng):
     np.testing.assert_array_equal(np.asarray(nbr_j)[:700], nbr_np)
 
 
+def test_radius_knn_self_first_with_coincident_points(rng):
+    """k+ points at identical coordinates must not displace the self edge
+    from slot 0 (the BSR path folds the self weight into that slot) — in
+    the NumPy builder, the jnp builder, AND the native C++ builder."""
+    from cgcnet_tpu.dataflow import native
+    from cgcnet_tpu.ops.knn import radius_knn_jnp, radius_knn_np
+
+    k = 4
+    # 8 coincident points + a few scattered ones
+    pos = np.concatenate(
+        [np.full((8, 2), 50.0, np.float32),
+         rng.uniform(0, 100, (8, 2)).astype(np.float32)]
+    )
+    n = len(pos)
+    nbr_np, mask_np = radius_knn_np(pos, 30.0, k)
+    assert (nbr_np[:, 0] == np.arange(n)).all()   # self in slot 0, every row
+    assert (mask_np[:, 0] == 1.0).all()
+
+    nbr_j, mask_j = jax.jit(
+        lambda p: radius_knn_jnp(p, jnp.int32(n), 30.0, k)
+    )(jnp.asarray(pos))
+    np.testing.assert_array_equal(np.asarray(nbr_j), nbr_np)
+    np.testing.assert_array_equal(np.asarray(mask_j), mask_np)
+
+    if native.available():
+        nbr_c, mask_c = native.radius_knn(pos, 30.0, k)
+        np.testing.assert_array_equal(nbr_c, nbr_np)
+        np.testing.assert_array_equal(mask_c, mask_np)
+
+
 # ---------------------------------------------------------------------------
 # evaluate(): per-repeat image voting (reference train.py:32-57) vs
 # mean-logits voting, against a scripted oracle
