@@ -76,16 +76,24 @@ def main(argv=None) -> dict:
     p.add_argument(
         "--pallas", action="store_true",
         help="bake the Pallas TPU kernels into the artifact (TPU-only, "
-        "non-portable custom calls; the signature then takes loader-built "
-        "BSR metadata + transpose tables; export must run ON a TPU-backed "
-        "host — Mosaic does not cross-lower from CPU)",
+        "non-portable custom calls; the signature then takes BSR metadata "
+        "+ transpose tables at FIXED widths — build them with "
+        "attach_bsr_meta(batch, data.bsr_blocks, quantize=False) and a "
+        "dataset pinned to --kt, exactly like multi-host loading; export "
+        "must run ON a TPU-backed host — Mosaic does not cross-lower from "
+        "CPU)",
+    )
+    p.add_argument(
+        "--kt", type=int, default=24,
+        help="transpose-table width baked into a --pallas signature (must "
+        "match the serving dataset's transpose_width)",
     )
     p.add_argument("overrides", nargs="*")
     args = p.parse_args(argv)
 
     from cgcnet_tpu.config import Config
     from cgcnet_tpu.nn.model import CGCNet
-    from cgcnet_tpu.train.checkpoint import load_partial
+    from cgcnet_tpu.train.checkpoint import load_for_inference
     from cgcnet_tpu.train.optim import make_optimizer
     from cgcnet_tpu.train.state import create_train_state
     from cgcnet_tpu.utils.export_model import export_forward, save_exported
@@ -111,15 +119,13 @@ def main(argv=None) -> dict:
         # portable artifact: force the XLA aggregation path at trace time
         cfg = cfg.apply_overrides(["model.use_pallas=never"])
 
-    example = _serving_graph(cfg, args.batch, pallas=args.pallas)
+    example = _serving_graph(cfg, args.batch, pallas=args.pallas, kt=args.kt)
     tx = make_optimizer(cfg.train, steps_per_epoch=1)
     model, state = create_train_state(cfg, tx, example)
-    # partial restore: the artifact needs params/batch_stats only, so a
-    # checkpoint saved under a different optimizer layout (e.g. the other
-    # train.flatten_opt setting) still exports
-    state, copied, _ = load_partial(args.ckpt, state)
-    assert any("params/" in k for k in copied), f"no params in {args.ckpt}"
-    print(f"loaded {args.ckpt} ({len(copied)} leaves)", file=sys.stderr)
+    # params/batch_stats must fully match (raises otherwise); only the
+    # optimizer layout may differ (e.g. the other train.flatten_opt setting)
+    state = load_for_inference(args.ckpt, state)
+    print(f"loaded {args.ckpt}", file=sys.stderr)
 
     variables = {"params": state.params, "batch_stats": state.batch_stats}
     exported, header = export_forward(
@@ -129,6 +135,14 @@ def main(argv=None) -> dict:
         symbolic_batch=args.symbolic_batch,
     )
     header["ckpt"] = str(args.ckpt)
+    if args.pallas:
+        # the serve-side batch builder must reproduce these FIXED widths:
+        # quantized caps (the loader default) would fail the shape check
+        header["serve_contract"] = {
+            "bsr_blocks": cfg.data.bsr_blocks,
+            "transpose_width": args.kt,
+            "metadata": "attach_bsr_meta(batch, bsr_blocks, quantize=False)",
+        }
     path = save_exported(exported, header, args.out)
     size = path.stat().st_size
     result = {

@@ -38,7 +38,7 @@ def main(argv=None) -> dict:
     from cgcnet_tpu.dataflow.dataset import NucleiGraphDataset
     from cgcnet_tpu.dataflow.loader import GraphLoader
     from cgcnet_tpu.nn.model import CGCNet
-    from cgcnet_tpu.train.checkpoint import load_partial
+    from cgcnet_tpu.train.checkpoint import load_for_inference
     from cgcnet_tpu.train.metrics import ImageLevelMetric, image_stem
     from cgcnet_tpu.train.optim import make_optimizer
     from cgcnet_tpu.train.state import create_train_state
@@ -60,12 +60,10 @@ def main(argv=None) -> dict:
     example = next(iter(loader.epoch(0)))
     tx = make_optimizer(cfg.train, steps_per_epoch=1)
     model, state = create_train_state(cfg, tx, example)
-    # partial restore: inference needs params/batch_stats only, so a
-    # checkpoint saved under a different optimizer layout (e.g. the other
-    # train.flatten_opt setting) still serves
-    state, copied, _ = load_partial(args.ckpt, state)
-    assert any("params/" in k for k in copied), f"no params in {args.ckpt}"
-    print(f"loaded {args.ckpt} ({len(copied)} leaves)", file=sys.stderr)
+    # params/batch_stats must fully match (raises otherwise); only the
+    # optimizer layout may differ (e.g. the other train.flatten_opt setting)
+    state = load_for_inference(args.ckpt, state)
+    print(f"loaded {args.ckpt}", file=sys.stderr)
 
     multi = cfg.data.sample_ratio < 1 and not cfg.data.full_test_graph
     reps = args.reps or (cfg.train.test_epoch if multi else 1)

@@ -16,6 +16,7 @@ TPU-first re-design of the reference L3 dataflow (dataflow/data.py):
 from __future__ import annotations
 
 import dataclasses
+import threading
 from typing import Sequence
 
 import numpy as np
@@ -410,6 +411,9 @@ def collate(
     return batch
 
 
+_STICKY_LOCK = threading.Lock()
+
+
 def attach_bsr_meta(
     batch: dict, bsr_blocks: int, quantize: bool = True,
     sticky_caps: dict | None = None,
@@ -460,10 +464,12 @@ def attach_bsr_meta(
             usable = cap is not None and cap <= max(bsr_blocks, 4)
             if sticky_caps is not None and usable:
                 # record only USABLE caps (an oversized batch must not poison
-                # the floor and push every later batch past the ceiling), and
-                # re-read at write time so a stale floor from a concurrent
-                # worker thread can never shrink the recorded cap
-                sticky_caps[di] = max(sticky_caps.get(di, 0), cap)
+                # the floor and push every later batch past the ceiling); the
+                # read-max-write must be atomic or a stale read from a
+                # concurrent loader worker could SHRINK the floor (= a fresh
+                # compiled shape = minutes through the axon relay)
+                with _STICKY_LOCK:
+                    sticky_caps[di] = max(sticky_caps.get(di, 0), cap)
         else:
             cap = bsr_blocks
             if need > cap:

@@ -7,9 +7,13 @@ the GIL inside numpy — while the main thread overlaps ``jax.device_put``
 with compute via a bounded prefetch queue (double buffering).
 
 Determinism: batch composition is a pure function of (seed, epoch) — the
-shuffle uses its own Generator — and each sample's graph is a pure function
-of (seed, patch, epoch), so any batch is reproducible regardless of thread
-scheduling.
+shuffle uses its own Generator — and each sample's graph CONTENT is a pure
+function of (seed, patch, epoch), reproducible regardless of thread
+scheduling. The one scheduling-dependent quantity is padding width: the
+grow-only sticky BSR caps mean a batch's blk_cols slot count can differ
+run-to-run depending on which batches other workers built first (the extra
+slots are masked zero-padding — numerics are unaffected, array shapes may
+differ).
 """
 
 from __future__ import annotations

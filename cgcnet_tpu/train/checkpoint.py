@@ -85,6 +85,11 @@ def load_checkpoint(path: str | Path, target: Any) -> tuple[Any, dict]:
             raise _mismatch(
                 f"leaf shape {np.shape(s_leaf)} != target {np.shape(t_leaf)}"
             )
+        if np.asarray(t_leaf).dtype != np.asarray(s_leaf).dtype:
+            raise _mismatch(
+                f"leaf dtype {np.asarray(s_leaf).dtype} != target "
+                f"{np.asarray(t_leaf).dtype}"
+            )
     meta_path = path.with_suffix(".json")
     meta = json.loads(meta_path.read_text()) if meta_path.is_file() else {}
     return state, meta
@@ -118,6 +123,27 @@ def load_partial(path: str | Path, target: Any) -> tuple[Any, list[str], list[st
         target, unflatten_dict(flat_dst, sep="/")
     )
     return restored, copied, skipped
+
+
+def load_for_inference(path: str | Path, target: Any) -> Any:
+    """Restore params + batch_stats for inference, tolerating ONLY
+    optimizer-state mismatches (e.g. a checkpoint saved under the other
+    train.flatten_opt layout). Every params/batch_stats leaf must copy —
+    a config-mismatched checkpoint raises instead of silently serving
+    mostly-random weights."""
+    state, copied, skipped = load_partial(path, target)
+    bad = [
+        k for k in skipped
+        if k.startswith(("params/", "batch_stats/"))
+    ]
+    if bad or not any(k.startswith("params/") for k in copied):
+        raise ValueError(
+            f"checkpoint '{path}' does not match the model configuration: "
+            f"{len(bad)} params/batch_stats leaves missing or shape-"
+            f"mismatched (first few: {bad[:5]}) — check the model/data "
+            "overrides match the ones the checkpoint was trained with"
+        )
+    return state
 
 
 def resolve_resume_path(ckpt_dir: str | Path, resume: str) -> Path:

@@ -307,8 +307,15 @@ class Trainer:
                 self._maybe_validate(epoch)
         jax.block_until_ready(self.state.step)  # drain in-flight steps
         dt = time.perf_counter() - t0
-        avg_loss = float(jnp.mean(jnp.stack(losses))) if losses else 0.0
-        edges = float(jnp.sum(jnp.stack(edge_counts))) if edge_counts else 0
+        # ONE bulk fetch + numpy reduction: jnp.stack over N per-batch
+        # scalars would compile an N-operand concatenate (minutes through
+        # the remote relay), and summing int32 edge counts on device wraps
+        # past 2**31 on long epochs — int64 host math is exact
+        avg_loss = float(np.mean(jax.device_get(losses))) if losses else 0.0
+        edges = (
+            float(np.sum(np.asarray(jax.device_get(edge_counts), np.int64)))
+            if edge_counts else 0
+        )
         self._log(
             {
                 "kind": "epoch",

@@ -127,9 +127,12 @@ int radius_knn(const float* pos, int64_t n, float radius, int k,
         if (gpx * gpx + gpy * gpy > bound) continue;
       }
       // y-window from the current bound; +1 ulp so sqrt rounding can never
-      // exclude a candidate with dy^2 == bound exactly
-      const float w =
-          std::nextafter(std::sqrt(bound), std::numeric_limits<float>::max());
+      // exclude a candidate with dy^2 == bound exactly. bound can be -1
+      // when the self sentinel fills the k-th slot (k==1) — clamp before
+      // sqrt or the NaN window defeats all pruning
+      const float w = std::nextafter(
+          std::sqrt(std::max(bound, 0.0f)),
+          std::numeric_limits<float>::max());
       if (v > 0) {
         const float* ys = bys.data();
         b0 = (int32_t)(std::lower_bound(ys + b0, ys + b1, yi - w) - ys);

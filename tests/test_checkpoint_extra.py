@@ -70,6 +70,39 @@ def test_load_partial_across_optimizer_layouts(tmp_path, rng):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_load_for_inference_rejects_config_mismatch(tmp_path, rng):
+    """A checkpoint from a DIFFERENT model configuration must raise, not
+    silently serve the few leaves that happen to match shapes."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from __graft_entry__ import _example_graph
+    from cgcnet_tpu.config import Config
+    from cgcnet_tpu.train.checkpoint import load_for_inference
+    from cgcnet_tpu.train.optim import make_optimizer
+    from cgcnet_tpu.train.state import create_train_state
+
+    graph = _example_graph(batch=2, cap=128, bsr_blocks=0)
+
+    def make_state(hidden):
+        cfg = Config().apply_overrides(
+            ["model.max_num_nodes=256", f"model.hidden_dim={hidden}",
+             f"model.embedding_dim={hidden}"]
+        )
+        tx = make_optimizer(cfg.train, steps_per_epoch=1)
+        return create_train_state(cfg, tx, graph)[1]
+
+    save_checkpoint(tmp_path, make_state(20), epoch=0)
+    target = make_state(24)  # different hidden_dim -> param shapes differ
+    try:
+        load_for_inference(tmp_path / "weight.msgpack", target)
+        raise AssertionError("expected a config-mismatch error")
+    except ValueError as e:
+        assert "model configuration" in str(e)
+    # and the matching config restores fine
+    load_for_inference(tmp_path / "weight.msgpack", make_state(20))
+
+
 def test_bf16_forward(rng):
     import sys
 
