@@ -70,13 +70,20 @@ def enable_compile_cache() -> None:
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
 
-def wait_for_backend(max_wait_s: float = 900.0, probe_timeout_s: float = 420.0) -> None:
+def wait_for_backend(
+    max_wait_s: float | None = None, probe_timeout_s: float = 420.0
+) -> None:
     """Block until the TPU backend answers a tiny matmul, retrying.
 
-    The axon tunnel flaps (backend init raises UNAVAILABLE for stretches);
-    a failed init is cached for the life of the process, so probe in a
-    SUBPROCESS and only touch jax here once a probe succeeds."""
+    The axon tunnel flaps (backend init raises UNAVAILABLE or hangs for
+    multi-hour stretches); a failed init is cached for the life of the
+    process, so probe in a SUBPROCESS and only touch jax here once a probe
+    succeeds. Window override: CGCNET_BENCH_WAIT_S."""
+    import os
     import subprocess
+
+    if max_wait_s is None:
+        max_wait_s = float(os.environ.get("CGCNET_BENCH_WAIT_S", 1800.0))
 
     deadline = time.monotonic() + max_wait_s
     attempt = 0
