@@ -129,6 +129,46 @@ def test_pallas_serving_graph_carries_bsr_signature():
     assert g0.nbr_t is None and g0.blk_cols is None
 
 
+def test_portable_artifact_serves_loader_batches(tmp_path, rng):
+    """The full serving pipeline: synthetic dataset -> GraphLoader batch
+    (which carries transpose tables + BSR metadata the portable signature
+    does not take) -> artifact forward must match model.apply bit-for-bit
+    on the same weights."""
+    from cgcnet_tpu.cli.export import _serving_graph
+    from cgcnet_tpu.config import Config
+    from cgcnet_tpu.dataflow.dataset import NucleiGraphDataset
+    from cgcnet_tpu.dataflow.loader import GraphLoader
+    from cgcnet_tpu.dataflow.synthetic import generate_dataset
+    from cgcnet_tpu.nn.model import CGCNet
+
+    root = tmp_path / "data"
+    generate_dataset(str(root), patches_per_image=2, images_per_grade=1,
+                     n_nodes=(80, 150), seed=5)
+    cfg = Config().apply_overrides([
+        f"data.root={root}", "data.max_num_nodes=512",
+        "model.max_num_nodes=512", "data.num_workers=1",
+        "model.use_pallas=never",
+    ])
+    ds = NucleiGraphDataset(cfg.data, "train")
+    loader = GraphLoader(ds, 2, shuffle=False, num_workers=1, wire=False)
+    batch = next(iter(loader.epoch(0)))
+    assert batch.nbr_t is not None  # loader batches carry the extra fields
+
+    model = CGCNet(cfg.model)
+    example = _serving_graph(cfg, 2)
+    assert example.capacity == batch.capacity  # same padding rule
+    variables = model.init(jax.random.key(0), example, train=False)
+
+    exported, header = export_forward(model, variables, example)
+    path = tmp_path / "m.cgexp"
+    save_exported(exported, header, path)
+    fwd, _ = load_exported(path)
+
+    got = np.asarray(fwd(batch))
+    want = np.asarray(model.apply(variables, batch, train=False))
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
 def test_export_cli_end_to_end(tmp_path, rng):
     """Train 1 synthetic epoch -> export the checkpoint -> serve logits that
     match a fresh model.apply with the same weights."""
