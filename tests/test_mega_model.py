@@ -290,3 +290,47 @@ def test_gat_matches_cellgraph_model(rng):
     leaves = jax.tree.leaves(jax.device_get(grads))
     assert all(np.isfinite(l).all() for l in leaves)
     assert sum(float(np.abs(l).sum()) for l in leaves) > 0
+
+
+def test_head_dropout_fires_in_training(rng):
+    """mega_forward's prediction-head dropout: train+rng changes logits,
+    rng=None and eval mode leave them untouched (parity with CGCNet's
+    Dropout placement, nn/model.py:250-252)."""
+    n_real, cap, d = 110, 128, 2
+    x, nbr, mask = build(rng, n_real, cap)
+    cfg = ModelConfig(
+        input_dim=18, max_num_nodes=160, assign_ratio=0.2,
+        hidden_dim=8, embedding_dim=8, assign_hidden_dim=8,
+        drop_out=0.5, use_pallas=False,
+    )
+    g = CellGraph(
+        x=jnp.asarray(x)[None],
+        nbr=jnp.asarray(nbr)[None],
+        nbr_mask=jnp.asarray(mask)[None],
+        n_nodes=jnp.asarray([n_real], jnp.int32),
+    )
+    model = CGCNet(cfg)
+    variables = model.init({"params": jax.random.key(0)}, g, train=False)
+    mesh = make_mesh(1, d, devices=jax.devices()[:d])
+    part = partition_graph(nbr, mask, d)
+    inputs = prepare_mega_inputs(x, part, mesh, n_real=n_real)
+
+    # three traces only — each shard_map compile is ~1-2 min on this host
+    plain, _ = mega_forward(
+        variables, cfg, inputs, mesh, train=True, return_stats=True
+    )
+    step = jax.jit(
+        lambda key: mega_forward(
+            variables, cfg, inputs, mesh, train=True, return_stats=True,
+            dropout_rng=key,
+        )[0]
+    )
+    dropped = step(jax.random.key(3))
+    assert not np.allclose(np.asarray(dropped), np.asarray(plain))
+    # same key -> same mask (pure function); different key -> different mask
+    np.testing.assert_array_equal(
+        np.asarray(dropped), np.asarray(step(jax.random.key(3)))
+    )
+    assert not np.allclose(
+        np.asarray(dropped), np.asarray(step(jax.random.key(4)))
+    )
