@@ -1,0 +1,73 @@
+"""Aux-subsystem coverage: dataset analytics, profiling helpers, and the
+bench harness' tunnel-probe give-up path."""
+
+import numpy as np
+
+from cgcnet_tpu.utils.analytics import dataset_feature_stats, max_nodes_in_dataset
+from cgcnet_tpu.utils.profiling import StepTimer, trace_context
+
+
+def test_analytics_over_synthetic_protos(tmp_path):
+    from cgcnet_tpu.dataflow.synthetic import generate_dataset
+
+    root = tmp_path / "d"
+    generate_dataset(str(root), patches_per_image=2, images_per_grade=1,
+                     n_nodes=(50, 90), seed=2)
+    folds = ["fold_1", "fold_2", "fold_3"]
+    counts, mx = max_nodes_in_dataset(str(root), folds)
+    assert counts and mx == max(counts) and 50 <= mx <= 90
+
+    mean, std = dataset_feature_stats(str(root), folds)
+    assert mean.shape == std.shape and mean.ndim == 1
+    assert np.isfinite(mean).all() and (std > 0).any()
+
+
+def test_analytics_empty_tree(tmp_path):
+    counts, mx = max_nodes_in_dataset(str(tmp_path), ["fold_1"])
+    assert counts == [] and mx == 0
+
+
+def test_step_timer_window_and_rates():
+    t = StepTimer(window=3)
+    t.start()
+    for _ in range(5):
+        t.update(edges=100)
+    assert len(t._times) == 3          # rolling window holds
+    assert t.mean_step_s >= 0.0
+    assert t.edges_per_s > 0.0
+    fresh = StepTimer()
+    assert fresh.mean_step_s == 0.0 and fresh.edges_per_s == 0.0
+
+
+def test_trace_context_noop_and_capture(tmp_path):
+    with trace_context(None):          # disabled path: plain passthrough
+        pass
+    logdir = tmp_path / "trace"
+    import jax.numpy as jnp
+
+    with trace_context(str(logdir)):
+        float(jnp.sum(jnp.ones((4, 4))))
+    assert any(logdir.rglob("*"))      # a trace artifact was written
+
+
+def test_bench_wait_gives_up_quickly(monkeypatch):
+    """wait_for_backend must RETURN (not raise) after the window so the real
+    run surfaces the backend error itself."""
+    import subprocess
+    import sys
+    import time
+
+    sys.path.insert(0, "/root/repo")
+    import bench
+
+    calls = []
+
+    def fake_run(*a, **k):
+        calls.append(time.monotonic())
+        raise subprocess.TimeoutExpired(cmd="probe", timeout=1)
+
+    monkeypatch.setattr(subprocess, "run", fake_run)
+    monkeypatch.setattr(time, "sleep", lambda s: None)
+    t0 = time.monotonic()
+    bench.wait_for_backend(max_wait_s=0.0, probe_timeout_s=1)
+    assert calls and time.monotonic() - t0 < 5.0
