@@ -29,10 +29,21 @@ def main(argv=None) -> dict:
         "--reps", type=int, default=0,
         help="test-time resampling repeats (0 = train.test_epoch default)",
     )
+    p.add_argument("--cpu", action="store_true",
+                   help="force the CPU backend (8 virtual devices)")
     p.add_argument("overrides", nargs="*")
     args = p.parse_args(argv)
 
     import jax
+
+    if args.cpu:
+        # in-process before first backend use (env vars are too late once
+        # the axon plugin registered, and still dial the tunnel)
+        try:
+            jax.config.update("jax_platforms", "cpu")
+            jax.config.update("jax_num_cpu_devices", 8)
+        except RuntimeError:
+            pass  # backend already initialized by the caller
 
     from cgcnet_tpu.config import Config
     from cgcnet_tpu.dataflow.dataset import NucleiGraphDataset

@@ -39,6 +39,12 @@ def parse_args(argv=None):
         help="dump GEXF cluster-assignment files during the final evaluation",
     )
     p.add_argument(
+        "--cpu",
+        action="store_true",
+        help="force the CPU backend (8 virtual devices) — the default "
+        "platform is the real TPU, which may be unreachable",
+    )
+    p.add_argument(
         "overrides", nargs="*", help="config overrides: section.key=value"
     )
     return p.parse_args(argv)
@@ -73,6 +79,15 @@ def main(argv=None) -> dict:
     import os as _os
 
     import jax as _jax
+
+    if args.cpu:
+        # must happen in-process before first backend use (env vars are too
+        # late once the axon plugin registered, and still dial the tunnel)
+        try:
+            _jax.config.update("jax_platforms", "cpu")
+            _jax.config.update("jax_num_cpu_devices", 8)
+        except RuntimeError:
+            pass  # backend already initialized by the caller
 
     _cache = _os.environ.get("CGCNET_COMPILE_CACHE") or _os.path.join(
         _os.path.expanduser("~"), ".cache", "cgcnet_tpu", "jax_cache"
