@@ -102,9 +102,16 @@ def wait_for_backend(
         except subprocess.TimeoutExpired:
             err = f"probe timed out after {probe_timeout_s:.0f}s"
         if time.monotonic() > deadline:
+            # Do NOT fall through to the real run: when the tunnel is down,
+            # backend init HANGS indefinitely rather than raising (observed
+            # 2026-08-18), so a give-up must be terminal and loud.
             print(f"backend probe {attempt} failed; giving up: {err}",
                   file=sys.stderr)
-            return  # let the real run surface the error
+            print("bench: TPU backend unreachable after "
+                  f"{max_wait_s:.0f}s wait window — aborting without a "
+                  "measurement (rerun via scripts/post_outage.sh)",
+                  file=sys.stderr)
+            sys.exit(1)
         print(f"backend probe {attempt} failed, retrying: {err}",
               file=sys.stderr)
         time.sleep(30)

@@ -51,11 +51,14 @@ def test_trace_context_noop_and_capture(tmp_path):
 
 
 def test_bench_wait_gives_up_quickly(monkeypatch):
-    """wait_for_backend must RETURN (not raise) after the window so the real
-    run surfaces the backend error itself."""
+    """wait_for_backend must exit(1) after the window — falling through to
+    the real run would HANG (backend init blocks forever when the tunnel is
+    down), and a silent return would let the driver wait on it."""
     import subprocess
     import sys
     import time
+
+    import pytest
 
     sys.path.insert(0, "/root/repo")
     import bench
@@ -69,5 +72,7 @@ def test_bench_wait_gives_up_quickly(monkeypatch):
     monkeypatch.setattr(subprocess, "run", fake_run)
     monkeypatch.setattr(time, "sleep", lambda s: None)
     t0 = time.monotonic()
-    bench.wait_for_backend(max_wait_s=0.0, probe_timeout_s=1)
+    with pytest.raises(SystemExit) as ei:
+        bench.wait_for_backend(max_wait_s=0.0, probe_timeout_s=1)
+    assert ei.value.code == 1
     assert calls and time.monotonic() - t0 < 5.0
