@@ -56,7 +56,14 @@ def capture(dtype: str, iters: int = 20, trace_dir: str = "/tmp/prof_step"):
     return trace_dir, iters
 
 
-def summarize(trace_dir: str, iters: int, top_n: int = 40):
+def summarize(trace_dir: str, iters: int, top_n: int = 40,
+              plane_match: str = "TPU"):
+    """Aggregate per-op self time from the newest .xplane.pb under trace_dir.
+
+    ``plane_match``: substring selecting device planes — "TPU" for real-chip
+    traces (XLA op lines), "/host:CPU" lets tests drive the same parse path
+    on a CPU-captured trace.
+    """
     from tensorflow.tsl.profiler.protobuf import xplane_pb2
 
     f = sorted(glob.glob(f"{trace_dir}/**/*.xplane.pb", recursive=True))[-1]
@@ -64,7 +71,7 @@ def summarize(trace_dir: str, iters: int, top_n: int = 40):
     xs.ParseFromString(open(f, "rb").read())
     rows = []
     for plane in xs.planes:
-        if "TPU" not in plane.name:
+        if plane_match not in plane.name:
             continue
         evmeta = {m.id: m.name for m in plane.event_metadata.values()}
         agg = defaultdict(float)

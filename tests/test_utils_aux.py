@@ -50,6 +50,43 @@ def test_trace_context_noop_and_capture(tmp_path):
     assert any(logdir.rglob("*"))      # a trace artifact was written
 
 
+def test_profile_step_parser_on_cpu_trace(tmp_path):
+    """The post-outage runbook's xplane parser must keep working: capture a
+    real (CPU) trace and drive benchmarks/profile_step.summarize through the
+    same glob -> ParseFromString -> aggregate path used on TPU traces."""
+    import os
+    import sys
+
+    os.environ.setdefault("PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION", "python")
+    try:
+        from tensorflow.tsl.profiler.protobuf import xplane_pb2  # noqa: F401
+    except Exception:
+        import pytest
+
+        pytest.skip("xplane protobuf unavailable")
+
+    import jax
+    import jax.numpy as jnp
+
+    sys.path.insert(0, "/root/repo/benchmarks")
+    import profile_step
+
+    @jax.jit
+    def f(x):
+        return jax.lax.fori_loop(0, 5, lambda i, a: a @ a / jnp.sum(a), x)
+
+    x = jnp.ones((32, 32))
+    jax.block_until_ready(f(x))
+    logdir = str(tmp_path / "tr")
+    with jax.profiler.trace(logdir):
+        jax.block_until_ready(f(x))
+
+    rows = profile_step.summarize(logdir, iters=5, top_n=10,
+                                  plane_match="/host:CPU")
+    assert rows, "parser returned no op rows from a real trace"
+    assert all(isinstance(n, str) and ms >= 0 for n, ms in rows)
+
+
 def test_bench_wait_gives_up_quickly(monkeypatch):
     """wait_for_backend must exit(1) after the window — falling through to
     the real run would HANG (backend init blocks forever when the tunnel is
