@@ -148,7 +148,10 @@ class DataConfig:
     # gathers with a warning past this ceiling.
     bsr_blocks: int = 16
     batch_size: int = 4
-    num_workers: int = 4
+    # 0 = auto (one worker per host core). The native build_patch path is
+    # GIL-free, so loader throughput scales with cores until it covers the
+    # chip's consumption (~420 patches/s needs ~7 cores at 4.3 ms/patch).
+    num_workers: int = 0
     prefetch: int = 2
     # Keep loaded protos in RAM (a full CRC fold is ~1.4 GB; removes npz
     # parse cost from the per-epoch hot loop). Disable for huge datasets.

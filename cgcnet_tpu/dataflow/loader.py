@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 from collections import deque
 from concurrent.futures import ThreadPoolExecutor
 from typing import Iterator
@@ -138,7 +139,7 @@ class GraphLoader:
         batch_size: int,
         *,
         shuffle: bool = True,
-        num_workers: int = 4,
+        num_workers: int = 0,
         prefetch: int = 2,
         drop_last: bool = False,
         seed: int = 0,
@@ -151,7 +152,12 @@ class GraphLoader:
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
-        self.num_workers = max(1, num_workers)
+        # 0 = auto: one worker per host core (build_patch is native and
+        # GIL-free, so throughput scales with real cores)
+        self.num_workers = (
+            max(1, os.cpu_count() or 1) if num_workers <= 0
+            else num_workers
+        )
         self.prefetch = prefetch
         self.drop_last = drop_last
         self.seed = seed
