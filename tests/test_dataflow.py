@@ -265,6 +265,58 @@ class TestFastPath:
                     np.asarray(gf.blk_cols), np.asarray(gs.blk_cols)
                 )
 
+    @pytest.mark.parametrize("sampling", ["fuse", "farthest", "random"])
+    @pytest.mark.parametrize("feat_mode", ["ca", "a", "c"])
+    def test_fill_into_matches_get_all_modes(self, tmp_path, sampling,
+                                             feat_mode):
+        """Fast-path parity must hold for every sampling method x feature
+        slicing mode (the single-config test above only covers fuse/ca)."""
+        from cgcnet_tpu.dataflow import native
+
+        if not native.available():
+            pytest.skip("native lib not built")
+        ds = self._dataset(tmp_path, sampling_method=sampling,
+                           feature_type=feat_mode)
+        assert ds.supports_fast_path()
+        cap = ds.capacity
+        feat_dim = {"ca": 18, "a": 16, "c": 2}[feat_mode]
+        for idx in range(len(ds.names)):
+            x = np.empty((cap, feat_dim), np.float32)
+            nbr = np.empty((cap, 8), np.int32)
+            mk = np.empty((cap, 8), np.float32)
+            nt = np.empty((cap, 32), np.int32)
+            mt = np.empty((cap, 32), np.float32)
+            n, y = ds.fill_into(idx, 1, x, nbr, mk, nt, mt)
+            s = ds.get(idx, 1)
+            assert (n, y) == (s.n_nodes, s.label)
+            np.testing.assert_allclose(x[:n], s.x, atol=1e-6)
+            np.testing.assert_array_equal(nbr[:n], s.nbr)
+
+    def test_fill_into_matches_get_fixed_epochs(self, tmp_path):
+        """Fast-path parity through the offline fixed-choice (use_fixed)
+        branch — fill_into takes the choice-array code path here."""
+        from cgcnet_tpu.dataflow import native
+        from cgcnet_tpu.dataflow.fixed_epochs import generate_fixed_epochs
+
+        if not native.available():
+            pytest.skip("native lib not built")
+        ds = self._dataset(tmp_path, use_fixed=True, num_fixed_epochs=2)
+        generate_fixed_epochs(ds.cfg, processes=1)
+        assert ds.supports_fast_path()
+        cap = ds.capacity
+        for epoch in range(3):  # epoch 2 wraps back onto fixed epoch 0
+            for idx in range(len(ds.names)):
+                x = np.empty((cap, 18), np.float32)
+                nbr = np.empty((cap, 8), np.int32)
+                mk = np.empty((cap, 8), np.float32)
+                nt = np.empty((cap, 32), np.int32)
+                mt = np.empty((cap, 32), np.float32)
+                n, y = ds.fill_into(idx, epoch, x, nbr, mk, nt, mt)
+                s = ds.get(idx, epoch)
+                assert (n, y) == (s.n_nodes, s.label)
+                np.testing.assert_allclose(x[:n], s.x, atol=1e-6)
+                np.testing.assert_array_equal(nbr[:n], s.nbr)
+
     def test_wire_path_matches_per_leaf(self, tmp_path):
         """Single-buffer wire transfer + device-side bitcast unpack must be
         bit-exact vs the per-leaf device_put path, field by field."""
