@@ -157,7 +157,7 @@ def main() -> None:
         val, grad = jax.value_and_grad(loss)(xx)
         return xx + 1e-12 * grad  # data dependency across iterations
 
-    t_sparse = bench_device_loop(sparse_step, x, iters=100)
+    t_sparse = bench_device_loop(sparse_step, x, iters=100, reps=5)
 
     # --- baseline: dense [B,N,N] adjacency matmul fwd+bwd (reference style) ---
     # Honesty notes (measured, see CLAUDE.md):
@@ -185,7 +185,9 @@ def main() -> None:
         val, grad = jax.value_and_grad(loss)(xx)
         return xx + 1e-12 * grad
 
-    t_dense = bench_device_loop(dense_step, x, iters=40)
+    # reps=5: the dense leg is the most tunnel-variance-exposed field of the
+    # output (CLAUDE.md: vs_baseline swung 1.8-15.5 across same-evening runs)
+    t_dense = bench_device_loop(dense_step, x, iters=40, reps=5)
 
     edges_per_s = edges / t_sparse
     vs_baseline = t_dense / t_sparse
