@@ -83,7 +83,15 @@ def wait_for_backend(
     import subprocess
 
     if max_wait_s is None:
-        max_wait_s = float(os.environ.get("CGCNET_BENCH_WAIT_S", 1800.0))
+        raw = os.environ.get("CGCNET_BENCH_WAIT_S", "1800")
+        try:
+            max_wait_s = float(raw)
+        except ValueError:
+            print(
+                f"bench: ignoring malformed CGCNET_BENCH_WAIT_S={raw!r} "
+                "(want seconds, e.g. 1800)", file=sys.stderr,
+            )
+            max_wait_s = 1800.0
 
     deadline = time.monotonic() + max_wait_s
     attempt = 0

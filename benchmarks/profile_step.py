@@ -31,6 +31,11 @@ def capture(dtype: str, iters: int = 20, trace_dir: str = "/tmp/prof_step"):
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     import bench
 
+    # probe the tunnel in a subprocess BEFORE the first in-process backend
+    # touch — a hung/failed init is cached for the life of the process
+    # (CLAUDE.md environment gotchas), and this script runs unattended in
+    # scripts/post_outage.sh
+    bench.wait_for_backend()
     bench.enable_compile_cache()
     import __graft_entry__ as ge
     from cgcnet_tpu.config import Config

@@ -44,71 +44,36 @@ def main(argv=None):
         bench.enable_compile_cache()
 
     import jax.numpy as jnp
-    import numpy as np
     import optax
 
     from cgcnet_tpu.config import Config
-    from cgcnet_tpu.dataflow import native, stats as stats_mod
-    from cgcnet_tpu.ops.knn import radius_knn_np
     from cgcnet_tpu.nn.model import CGCNet
     from cgcnet_tpu.core.graph import CellGraph
-    from cgcnet_tpu.parallel.mega_graph import partition_graph
-    from cgcnet_tpu.parallel.mega_model import prepare_mega_inputs
     from cgcnet_tpu.parallel.mega_train import make_slide_train_step
     from cgcnet_tpu.parallel.mesh import make_mesh
+    from cgcnet_tpu.parallel.slide_setup import (
+        build_slide_inputs,
+        synthetic_slide,
+    )
 
     cfg = Config().apply_overrides(args.overrides)
     shards = args.shards or len(jax.devices())
     mesh = make_mesh(1, shards)
 
-    # ---- synthetic slide, same construction as cli/slide.py ----
-    rng = np.random.default_rng(0)
-    n = args.nuclei
-    side = 3584.0 * max(1.0, np.sqrt(n / 5000.0))
-    coords = rng.uniform(0, side, (n, 2)).astype(np.float32)
-    feats = (rng.normal(size=(n, 16)) * 10 + 40).astype(np.float32)
-
-    mean, std = stats_mod.reference_stats(
-        cfg.data.cross_val, cfg.data.feature_type
-    )
-    band = np.floor(coords[:, 0] / cfg.data.max_edge_distance)
-    order = np.lexsort((coords[:, 1], band))
-    feats, coords = feats[order], coords[order]
-    x = (np.concatenate([feats, coords], -1) - mean) / std
-
-    cap = -(-n // (128 * shards)) * (128 * shards)
-    xp = np.zeros((cap, x.shape[1]), np.float32)
-    xp[:n] = x
-    if native.available():
-        nbr, mask = native.radius_knn(
-            coords, cfg.data.max_edge_distance, cfg.data.max_neighbours
-        )
-    else:
-        nbr, mask = radius_knn_np(
-            coords, cfg.data.max_edge_distance, cfg.data.max_neighbours
-        )
-    nbrp = np.tile(np.arange(cap, dtype=np.int32)[:, None], (1, nbr.shape[1]))
-    maskp = np.zeros((cap, nbr.shape[1]), np.float32)
-    nbrp[:n], maskp[:n] = nbr, mask
-    edges = int(maskp.sum())
-
-    part = partition_graph(nbrp, maskp, shards)
-    tables = None
-    if jax.default_backend() == "tpu":
-        from cgcnet_tpu.parallel.mega_graph import build_bsr_tables
-
-        tables = build_bsr_tables(part)
-    inputs = prepare_mega_inputs(xp, part, mesh, n_real=n, bsr=tables)
+    # ---- synthetic slide through the production pipeline ----
+    feats, coords = synthetic_slide(args.nuclei)
+    build = build_slide_inputs(cfg, feats, coords, shards, mesh)
+    n, edges, inputs = build.n, build.edges, build.inputs
 
     mcfg = cfg.model.__class__(**{
         **cfg.model.__dict__,
-        "input_dim": x.shape[1],
-        "use_pallas": "never",  # mega path takes BSR via `tables`
-        "compute_dtype": args.dtype,
+        "input_dim": build.input_dim,
+        "use_pallas": "never",  # mega path takes BSR via the input tables
+        "compute_dtype": args.dtype,  # mega_forward runs at this dtype
     })
     model = CGCNet(mcfg)
     example = CellGraph(
-        x=jnp.zeros((1, 256, x.shape[1])),
+        x=jnp.zeros((1, 256, build.input_dim)),
         nbr=jnp.zeros((1, 256, cfg.data.max_neighbours), jnp.int32),
         nbr_mask=jnp.zeros((1, 256, cfg.data.max_neighbours)),
         n_nodes=jnp.asarray([256], jnp.int32),
@@ -120,8 +85,7 @@ def main(argv=None):
     tx = optax.adam(1e-3)
     opt_state = tx.init(params)
     step = make_slide_train_step(
-        cfg.model.__class__(**{**mcfg.__dict__}), tx, mesh,
-        halo_overlap=cfg.mesh.halo_overlap,
+        mcfg, tx, mesh, halo_overlap=cfg.mesh.halo_overlap,
     )
     label = jnp.asarray(1)
     key = jax.random.key(0)
@@ -164,7 +128,7 @@ def main(argv=None):
         "shards": shards,
         "dtype": args.dtype,
         "halo_overlap": bool(cfg.mesh.halo_overlap),
-        "bsr_tables": tables is not None,
+        "bsr_tables": build.bsr,
         "step_ms": round(t_step * 1e3, 2),
         "edges_per_s_fwd_bwd": round(edges / t_step, 1),
         "compile_s": round(t_compile, 1),

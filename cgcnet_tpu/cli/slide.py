@@ -50,13 +50,14 @@ def main(argv=None):
     import jax.numpy as jnp
 
     from cgcnet_tpu.config import Config
-    from cgcnet_tpu.dataflow import native, stats as stats_mod
     from cgcnet_tpu.nn.model import CGCNet
     from cgcnet_tpu.core.graph import CellGraph
-    from cgcnet_tpu.ops.knn import radius_knn_np
-    from cgcnet_tpu.parallel.mega_graph import partition_graph
-    from cgcnet_tpu.parallel.mega_model import mega_forward, prepare_mega_inputs
+    from cgcnet_tpu.parallel.mega_model import mega_forward
     from cgcnet_tpu.parallel.mesh import make_mesh
+    from cgcnet_tpu.parallel.slide_setup import (
+        build_slide_inputs,
+        synthetic_slide,
+    )
 
     cfg = Config().apply_overrides(args.overrides)
     shards = args.shards or len(jax.devices())
@@ -64,64 +65,24 @@ def main(argv=None):
 
     # ---- slide data ----
     if args.synthetic:
-        rng = np.random.default_rng(0)
-        n = args.nuclei
-        side = 3584.0 * max(1.0, np.sqrt(n / 5000.0))
-        coords = rng.uniform(0, side, (n, 2)).astype(np.float32)
-        feats = (rng.normal(size=(n, 16)) * 10 + 40).astype(np.float32)
+        feats, coords = synthetic_slide(args.nuclei)
         label = None
     else:
         if not args.proto:
             p.error("--proto or --synthetic required")
         with np.load(args.proto) as z:
             feats, coords, label = z["features"], z["coords"], int(z["label"])
-        n = len(coords)
 
-    # ---- normalize + spatially sort + pad to shard multiple ----
-    mean, std = stats_mod.reference_stats(cfg.data.cross_val, cfg.data.feature_type)
-    band = np.floor(coords[:, 0] / cfg.data.max_edge_distance)
-    order = np.lexsort((coords[:, 1], band))
-    feats, coords = feats[order], coords[order]
-    x = (np.concatenate([feats, coords], -1) - mean) / std
-
-    cap = -(-n // (128 * shards)) * (128 * shards)
-    xp = np.zeros((cap, x.shape[1]), np.float32)
-    xp[:n] = x
-
-    # ---- graph construction (native grid hash for 100k+ nuclei) ----
-    t0 = time.perf_counter()
-    if native.available():
-        nbr, mask = native.radius_knn(
-            coords, cfg.data.max_edge_distance, cfg.data.max_neighbours
-        )
-    else:
-        nbr, mask = radius_knn_np(
-            coords, cfg.data.max_edge_distance, cfg.data.max_neighbours
-        )
-    nbrp = np.tile(np.arange(cap, dtype=np.int32)[:, None], (1, nbr.shape[1]))
-    maskp = np.zeros((cap, nbr.shape[1]), np.float32)
-    nbrp[:n], maskp[:n] = nbr, mask
-    t_graph = time.perf_counter() - t0
-
-    # ---- partition + forward ----
-    t0 = time.perf_counter()
-    part = partition_graph(nbrp, maskp, shards)
-    # BSR tables: gather-free Pallas aggregation on TPU backends (halo
-    # columns as extra tiles); XLA gathers elsewhere
-    tables = None
-    if jax.default_backend() == "tpu":
-        from cgcnet_tpu.parallel.mega_graph import build_bsr_tables
-
-        tables = build_bsr_tables(part)
-    t_part = time.perf_counter() - t0
-    inputs = prepare_mega_inputs(xp, part, mesh, n_real=n, bsr=tables)
+    # ---- normalize / band-sort / pad / radius graph / partition (+BSR) ----
+    build = build_slide_inputs(cfg, feats, coords, shards, mesh)
+    n, inputs = build.n, build.inputs
 
     mcfg = cfg.model
-    mcfg = mcfg.__class__(**{**mcfg.__dict__, "input_dim": x.shape[1],
+    mcfg = mcfg.__class__(**{**mcfg.__dict__, "input_dim": build.input_dim,
                              "use_pallas": "never"})
     model = CGCNet(mcfg)
     example = CellGraph(
-        x=jnp.zeros((1, 256, x.shape[1])),
+        x=jnp.zeros((1, 256, build.input_dim)),
         nbr=jnp.zeros((1, 256, cfg.data.max_neighbours), jnp.int32),
         nbr_mask=jnp.zeros((1, 256, cfg.data.max_neighbours)),
         n_nodes=jnp.asarray([256], jnp.int32),
@@ -145,13 +106,14 @@ def main(argv=None):
     t_fwd = time.perf_counter() - t0
 
     pred = int(np.argmax(logits))
-    halo = int(part.req_mask.sum())
+    halo = int(build.part.req_mask.sum())
     print(
         f"slide: {n} nuclei, {shards} shards, halo rows {halo} "
         f"({100*halo/max(n,1):.2f}%)"
     )
     print(
-        f"timing: graph {t_graph*1e3:.0f} ms, partition {t_part*1e3:.0f} ms, "
+        f"timing: graph {build.t_graph_s*1e3:.0f} ms, "
+        f"partition {build.t_part_s*1e3:.0f} ms, "
         f"forward {t_fwd*1e3:.0f} ms (compile {t_fwd_c:.1f} s)"
     )
     print(f"logits {logits}  predicted grade {pred + 1}"

@@ -152,12 +152,21 @@ class GraphLoader:
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
-        # 0 = auto: one worker per host core (build_patch is native and
-        # GIL-free, so throughput scales with real cores)
-        self.num_workers = (
-            max(1, os.cpu_count() or 1) if num_workers <= 0
-            else num_workers
-        )
+        # 0 = auto: one worker per *usable* core (build_patch is native and
+        # GIL-free, so throughput scales with real cores). Usable = the CPU
+        # affinity/cgroup quota, NOT os.cpu_count() (a 2-of-64-core container
+        # must not spawn 64 threads), divided by the process count so
+        # co-located multi-host processes never oversubscribe one host
+        # (conservative: real fleets with one process per host should set
+        # num_workers explicitly).
+        if num_workers <= 0:
+            try:
+                cores = len(os.sched_getaffinity(0))
+            except AttributeError:  # non-Linux
+                cores = os.cpu_count() or 1
+            self.num_workers = max(1, cores // max(1, jax.process_count()))
+        else:
+            self.num_workers = num_workers
         self.prefetch = prefetch
         self.drop_last = drop_last
         self.seed = seed

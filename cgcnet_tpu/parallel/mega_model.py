@@ -105,9 +105,11 @@ def prepare_mega_inputs(
 # ---------------------------------------------------------------------------
 
 def _linear(p, h):
-    out = h @ p["kernel"]
+    # params live in f32; matmuls run at the activation dtype (bf16 under
+    # model.compute_dtype=bfloat16) — same cast-at-use policy as nn/blocks.py
+    out = h @ p["kernel"].astype(h.dtype)
     if "bias" in p:
-        out = out + p["bias"]
+        out = out + p["bias"].astype(h.dtype)
     return out
 
 
@@ -146,10 +148,13 @@ def _bn_moments(stats, h, valid, axis, train: bool, replicated: bool = False):
 
 
 def _bn(p, stats, h, valid, axis, train: bool, replicated: bool = False):
-    """BatchNorm over all real nodes of the global graph (psum stats)."""
-    mean, var, upd = _bn_moments(stats, h, valid, axis, train, replicated)
-    out = (h - mean) * jax.lax.rsqrt(var + 1e-5) * p["scale"] + p["bias"]
-    return out, upd
+    """BatchNorm over all real nodes of the global graph (psum stats).
+    Statistics and the normalization itself run in f32 (the bf16 precision
+    policy's f32 island — CLAUDE.md / nn.layers.TorchBatchNorm)."""
+    h32 = h.astype(jnp.float32)
+    mean, var, upd = _bn_moments(stats, h32, valid, axis, train, replicated)
+    out = (h32 - mean) * jax.lax.rsqrt(var + 1e-5) * p["scale"] + p["bias"]
+    return out.astype(h.dtype), upd
 
 
 def _gat_conv(gp, h, agg, valid, cfg: ModelConfig):
@@ -243,10 +248,12 @@ def _stage1_block(
             out = _gat_conv(gp, h, agg, valid, cfg)
         elif cfg.gcn_name == "SAGE":
             ah = agg(h)
-            denom = jnp.clip(agg.rowsum(), min=1.0)[:, None]
+            denom = jnp.clip(agg.rowsum(), min=1.0)[:, None].astype(h.dtype)
             out = _linear(gp["lin"], ah / denom)
-            norm = jnp.linalg.norm(out, axis=-1, keepdims=True)
-            out = out / jnp.maximum(norm, 1e-12)
+            # L2-normalize in f32 (precision-policy island, nn/layers.py)
+            out32 = out.astype(jnp.float32)
+            norm = jnp.linalg.norm(out32, axis=-1, keepdims=True)
+            out = (out32 / jnp.maximum(norm, 1e-12)).astype(h.dtype)
         else:
             ah = agg(h)
             out = _linear(gp["mlp_0"], ah)
@@ -265,11 +272,14 @@ def _stage1_block(
         outs.append(out)
     if fold3:
         h3a = outs[2]  # pre-BN activation (valid-masked)
+        dt = h3a.dtype
         mean, var, upd = _bn_moments(
-            s.get("bn3"), h3a, valid, axis, train, replicated
+            s.get("bn3"), h3a.astype(jnp.float32), valid, axis, train,
+            replicated,
         )
         if upd is not None and stats_out is not None:
             stats_out.setdefault(name, {})["bn3"] = upd
+        # fold in f32, matmul at the activation dtype (nn/blocks.py:228-236)
         bp = p["bn3"]
         inv = jax.lax.rsqrt(var + 1e-5) * bp["scale"]
         shift = bp["bias"] - mean * inv
@@ -278,7 +288,11 @@ def _stage1_block(
         k12, k3 = k[:split], k[split:]
         const = shift @ k3 + p["lin"].get("bias", 0.0)
         cat12 = jnp.concatenate(outs[:2], -1)
-        out = cat12 @ k12 + h3a @ (inv[:, None] * k3) + const
+        out = (
+            cat12 @ k12.astype(dt)
+            + h3a @ (inv[:, None] * k3).astype(dt)
+            + const.astype(dt)
+        )
         return out * valid[:, None]
     cat = jnp.concatenate(outs, -1) * valid[:, None]
     if lin:
@@ -296,8 +310,10 @@ def _jk(p, h, channels: int, layers: int = 3):
     lp = p["lstm"]
 
     def run(x_seq, sfx):
-        w_ih, w_hh = lp[f"weight_ih{sfx}"], lp[f"weight_hh{sfx}"]
-        b = lp[f"bias_ih{sfx}"] + lp[f"bias_hh{sfx}"]
+        dt = x_seq.dtype
+        w_ih = lp[f"weight_ih{sfx}"].astype(dt)
+        w_hh = lp[f"weight_hh{sfx}"].astype(dt)
+        b = (lp[f"bias_ih{sfx}"] + lp[f"bias_hh{sfx}"]).astype(dt)
         hdim = w_hh.shape[1]
 
         def cell(carry, x_t):
@@ -315,7 +331,8 @@ def _jk(p, h, channels: int, layers: int = 3):
     fwd = run(x, "_l0")
     bwd = run(x[:, ::-1], "_l0_reverse")[:, ::-1]
     alpha = _linear(p["att"], jnp.concatenate([fwd, bwd], -1))[..., 0]
-    alpha = jax.nn.softmax(alpha, -1)
+    # layer-attention softmax in f32 (precision-policy island, nn/jk.py:115)
+    alpha = jax.nn.softmax(alpha.astype(jnp.float32), -1).astype(x.dtype)
     return jnp.sum(x * alpha[..., None], 1)
 
 
@@ -334,22 +351,26 @@ class _ShardedAdj:
         cfg: ModelConfig,
         axis: str,
         overlap: bool = False,
+        dtype=None,
     ):
         self.axis = axis
         self.inp = inputs
         self.overlap = overlap
+        # dtype = activation/compute dtype (model.compute_dtype); the scale
+        # vectors and ELL weights must match it or every aggregation silently
+        # promotes bf16 activations back to f32
+        dt = jnp.dtype(dtype) if dtype is not None else inputs.x.dtype
         row = jnp.arange(inputs.nbr_remap.shape[0])
-        self.off_mask = inputs.nbr_mask * (
+        off_mask32 = inputs.nbr_mask * (
             inputs.nbr_remap != row[:, None]
         ).astype(inputs.nbr_mask.dtype)
-        deg = jnp.sum(self.off_mask, -1)
+        self.off_mask = off_mask32.astype(dt)
+        deg = jnp.sum(off_mask32, -1)
         # BSR path: build the local-operator blocks ONCE per forward — all
         # stage-1 matvecs then run the gather-free Pallas MXU kernel
         self.bsr = inputs.blk_cols is not None
         if self.bsr:
             from cgcnet_tpu.ops.pallas.bsr_kernel import bsr_build_blocks
-
-            dt = inputs.x.dtype
             self.vals = bsr_build_blocks(
                 inputs.nbr_remap[None], self.off_mask[None],
                 inputs.blk_cols[None], inputs.blk_mask[None], dt,
@@ -360,8 +381,8 @@ class _ShardedAdj:
             )
         if cfg.norm_adj:
             p = cfg.self_weight
-            self.scale = (1.0 - p) / (deg + EPS) * inputs.valid
-            self.self_w = p * inputs.valid
+            self.scale = ((1.0 - p) / (deg + EPS) * inputs.valid).astype(dt)
+            self.self_w = (p * inputs.valid).astype(dt)
             # renormalized rows sum to <= 1, so SAGE's clamp(min=1) pins the
             # mean denominator at exactly 1 — same contract as
             # nn.model.make_stage1_adj (keeps any cfg.self_weight consistent)
@@ -378,8 +399,8 @@ class _ShardedAdj:
                 ),
                 axis=-1,
             )
-            self.scale = inputs.valid
-            self.self_w = has_self * inputs.valid
+            self.scale = inputs.valid.astype(dt)
+            self.self_w = (has_self * inputs.valid).astype(dt)
             self._rowsum = (deg + has_self) * inputs.valid
 
     def concat_halo(self, h):
@@ -467,10 +488,16 @@ def mega_forward(
         dropout_rng if dropout_rng is not None else jax.random.key(0)
     )
 
+    dtype = jnp.dtype(cfg.compute_dtype)
+
     def fn(params, stats, inp: MegaInputs, rng_data):
-        x, valid = inp.x, inp.valid
-        adj = _ShardedAdj(inp, cfg, axis, overlap=halo_overlap)
-        neg = jnp.finfo(x.dtype).min
+        # activations run at model.compute_dtype (bf16 under the mixed-
+        # precision policy); L2-norm / softmax / BN-stats / JK-attention /
+        # head stay f32 — same islands as the patch path (nn/model.py:171)
+        x = inp.x.astype(dtype)
+        valid = inp.valid.astype(dtype)
+        adj = _ShardedAdj(inp, cfg, axis, overlap=halo_overlap, dtype=dtype)
+        neg = jnp.finfo(dtype).min
         stats_out: dict = {}
 
         # ---- stage 1 (sharded) ----
@@ -488,7 +515,10 @@ def mega_forward(
             params, stats, "pool1", x, adj, valid, cfg, axis, train,
             lin=True, stats_out=stats_out,
         )
-        s = jax.nn.softmax(assign, -1) * valid[:, None]
+        # assignment softmax in f32 (nn/blocks.py:360 island), back to dtype
+        s = jax.nn.softmax(assign.astype(jnp.float32), -1).astype(
+            dtype
+        ) * valid[:, None]
         x_pool = jax.lax.psum(s.T @ embed, axis)                 # [d1, F]
         a_s = adj(s)                                             # [Ns, d1]
         adj_pool = jax.lax.psum(s.T @ a_s, axis)                 # [d1, d1]
@@ -528,7 +558,7 @@ def mega_forward(
             params, stats, "pool2", x_pool, dense_agg(adj_pool), ones, cfg,
             axis, train, lin=True, stats_out=stats_out, replicated=True,
         )
-        s2 = jax.nn.softmax(assign2, -1)
+        s2 = jax.nn.softmax(assign2.astype(jnp.float32), -1).astype(dtype)
         x3 = s2.T @ embed2
         adj3 = s2.T @ (adj_pool @ s2)
         if cfg.norm_adj:
@@ -536,7 +566,9 @@ def mega_forward(
         embed3 = dense_stage("embed3", "jk3", x3, adj3)
         read3 = jnp.max(embed3, 0)
 
-        out = jnp.concatenate([read1, read2, read3], -1)
+        # the head is [60]-tiny — run it in f32 regardless of compute_dtype
+        # (same decision as nn/model.py:250-252)
+        out = jnp.concatenate([read1, read2, read3], -1).astype(jnp.float32)
         h = out
         act = _act(cfg.activation)
         for i, _ in enumerate(cfg.pred_hidden_dims):

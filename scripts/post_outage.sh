@@ -14,7 +14,10 @@ out="${1:-/tmp/post_outage}"
 mkdir -p "$out"
 
 echo "== 1/2 bench.py (waits for the tunnel; window CGCNET_BENCH_WAIT_S) =="
-python bench.py 2>"$out/bench.stderr" | tee "$out/bench.json"
+# no pipe: POSIX sh has no pipefail, and bench.py's terminal give-up exit
+# must stop the runbook (profile_step would otherwise hang on a dead tunnel)
+python bench.py >"$out/bench.json" 2>"$out/bench.stderr"
+cat "$out/bench.json"
 
 echo "== 2/2 profile_step.py bfloat16 =="
 python benchmarks/profile_step.py bfloat16 >"$out/profile_bf16.txt" 2>"$out/profile_bf16.stderr"
