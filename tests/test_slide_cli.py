@@ -1,0 +1,76 @@
+"""Slide CLI + shared slide-setup pipeline (cgcnet_tpu/parallel/slide_setup.py).
+
+Covers the whole-slide inference entry point (BASELINE.json configs 4-5
+analog on the virtual CPU mesh): synthetic slide -> normalize/band-sort/pad ->
+radius graph -> partition -> MegaCGCNet forward, and shard-count invariance
+of the shared input builder.
+"""
+
+import numpy as np
+
+
+def test_build_slide_inputs_shard_invariant():
+    """build_slide_inputs must give the same logits at 1, 2 and 4 shards."""
+    import jax
+
+    from cgcnet_tpu.config import Config
+    from cgcnet_tpu.nn.model import CGCNet
+    from cgcnet_tpu.core.graph import CellGraph
+    from cgcnet_tpu.parallel.mega_model import mega_forward
+    from cgcnet_tpu.parallel.mesh import make_mesh
+    from cgcnet_tpu.parallel.slide_setup import (
+        build_slide_inputs,
+        synthetic_slide,
+    )
+
+    # small model dims: CPU-mesh test (canonical 128/1140 dims are TPU-scale)
+    cfg = Config().apply_overrides([
+        "model.hidden_dim=8", "model.embedding_dim=8",
+        "model.assign_hidden_dim=8", "model.max_num_nodes=768",
+    ])
+    feats, coords = synthetic_slide(700, seed=3)
+    builds, logits = {}, {}
+    for shards in (1, 2, 4):
+        mesh = make_mesh(1, shards)
+        b = build_slide_inputs(cfg, feats, coords, shards, mesh)
+        builds[shards] = b
+        assert b.n == 700
+        assert b.cap % (128 * shards) == 0 and b.cap >= b.n
+        assert b.edges > 0 and not b.bsr  # CPU backend: XLA gathers
+
+        mcfg = cfg.model.__class__(**{
+            **cfg.model.__dict__, "input_dim": b.input_dim,
+            "use_pallas": "never",
+        })
+        model = CGCNet(mcfg)
+        example = CellGraph(
+            x=np.zeros((1, 256, b.input_dim), np.float32),
+            nbr=np.zeros((1, 256, cfg.data.max_neighbours), np.int32),
+            nbr_mask=np.zeros((1, 256, cfg.data.max_neighbours), np.float32),
+            n_nodes=np.asarray([256], np.int32),
+        )
+        variables = model.init({"params": jax.random.key(0)}, example,
+                               train=False)
+        out = mega_forward(variables, mcfg, b.inputs, mesh, train=False,
+                           halo_overlap=cfg.mesh.halo_overlap)
+        logits[shards] = np.asarray(jax.device_get(out))
+
+    # identical real-edge count regardless of padding multiple
+    assert builds[1].edges == builds[2].edges == builds[4].edges
+    np.testing.assert_allclose(logits[1], logits[2], rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(logits[1], logits[4], rtol=2e-5, atol=2e-5)
+
+
+def test_slide_cli_synthetic(capsys):
+    from cgcnet_tpu.cli.slide import main as slide_main
+
+    result = slide_main([
+        "--synthetic", "--nuclei", "600", "--shards", "2", "--cpu",
+        "model.hidden_dim=8", "model.embedding_dim=8",
+        "model.assign_hidden_dim=8", "model.max_num_nodes=768",
+    ])
+    assert result["pred"] in (0, 1, 2)
+    logits = np.asarray(result["logits"])
+    assert logits.shape[-1] == 3 and np.isfinite(logits).all()
+    out = capsys.readouterr().out
+    assert "600 nuclei, 2 shards" in out
