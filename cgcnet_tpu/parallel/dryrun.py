@@ -1,11 +1,15 @@
 """Multi-chip dry run: compile + execute the full training step over an
 n-device mesh on tiny shapes (driver contract — see __graft_entry__.py).
 
-Exercises both parallelism modes the framework ships:
+Exercises the FLAGSHIP parallelism paths the framework ships (the gate must
+gate what cli/train.py and cli/slide.py actually run):
   1. data-parallel CGCNet training step: batch sharded over 'data',
      parameters replicated, gradient all-reduce inserted by XLA;
-  2. graph-parallel mega-graph aggregation (the SP analog): nodes sharded
-     over 'graph', halo exchange via all_to_all, forward + backward.
+  2. graph-parallel MegaCGCNet slide TRAIN step (the SP analog): nodes
+     sharded over 'graph', capacity-padded all_to_all halo exchange, psum
+     BatchNorm, psum DiffPool contraction, head dropout, adam — fwd + bwd —
+     with the Pallas BSR aggregation kernel running in interpret mode (the
+     same kernel the TPU slide path compiles natively).
 """
 
 from __future__ import annotations
@@ -16,10 +20,6 @@ import jax.numpy as jnp
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from cgcnet_tpu.config import Config
-from cgcnet_tpu.parallel.mega_graph import (
-    partition_graph,
-    sharded_gather_sum,
-)
 from cgcnet_tpu.parallel.mesh import make_mesh
 from cgcnet_tpu.train.loop import make_train_step
 from cgcnet_tpu.train.optim import make_optimizer
@@ -68,41 +68,73 @@ def run_dryrun(n_devices: int) -> None:
     loss = float(metrics["loss"])
     assert np.isfinite(loss), f"dp train step produced {loss}"
 
-    # ---- 2. graph-parallel mega-graph aggregation with halo exchange --------
+    # ---- 2. flagship graph-parallel path: MegaCGCNet slide train step -------
+    # (halo all_to_all + psum BN + psum DiffPool + BSR kernel in interpret
+    # mode + adam — what cli/slide.py compiles on TPU)
     if n_graph > 1:
+        import optax
+
+        from cgcnet_tpu.config import ModelConfig
+        from cgcnet_tpu.core.graph import CellGraph
+        from cgcnet_tpu.nn.model import CGCNet
+        from cgcnet_tpu.ops.knn import radius_knn_np
+        from cgcnet_tpu.ops.pallas import bsr_kernel
+        from cgcnet_tpu.parallel.mega_graph import (
+            build_bsr_tables,
+            partition_graph,
+        )
+        from cgcnet_tpu.parallel.mega_model import prepare_mega_inputs
+        from cgcnet_tpu.parallel.mega_train import make_slide_train_step
+
         gmesh = make_mesh(1, n_graph, devices=devices[:n_graph])
         rng = np.random.default_rng(0)
-        ns, k, f = 64, 4, 8
+        ns, k = 128, 6  # 128 rows/shard: the BSR tile size — tables build
         n = ns * n_graph
-        from cgcnet_tpu.ops.knn import radius_knn_np
-
-        pos = np.sort(rng.uniform(0, 100 * n_graph, (n, 1)), axis=0)
-        pos2 = np.concatenate([pos, rng.uniform(0, 50, (n, 1))], 1).astype(
-            np.float32
-        )
-        nbr, mask = radius_knn_np(pos2, 60.0, k)
+        xs_coord = np.sort(rng.uniform(0, n * 3.0, n))
+        pos = np.stack(
+            [xs_coord, rng.uniform(0, 80, n)], -1
+        ).astype(np.float32)
+        nbr, mask = radius_knn_np(pos, 100.0, k)
         part = partition_graph(nbr, mask, n_graph)
-        x = rng.normal(size=(n, f)).astype(np.float32)
+        tables = build_bsr_tables(part)
+        assert tables is not None, "BSR tables must build for the dryrun"
+        x = rng.normal(size=(n, 18)).astype(np.float32)
 
-        gspec = NamedSharding(gmesh, P("graph"))
-        put = lambda a: jax.device_put(jnp.asarray(a), gspec)
-        xd = put(x)
-        args = (
-            put(part.nbr_remap.reshape(n, k)),
-            put(part.nbr_mask.reshape(n, k)),
-            put(part.nbr_mask.reshape(n, k)),
-            put(part.req_idx.reshape(-1, part.halo_capacity)),
-            put(part.req_mask.reshape(-1, part.halo_capacity)),
+        mcfg = ModelConfig(
+            input_dim=18, max_num_nodes=2 * n, assign_ratio=0.05,
+            hidden_dim=8, embedding_dim=8, assign_hidden_dim=8,
+            drop_out=0.2, norm_adj=True, jk=True, use_pallas="always",
         )
+        g0 = CellGraph(
+            x=jnp.asarray(x)[None],
+            nbr=jnp.asarray(nbr)[None],
+            nbr_mask=jnp.asarray(mask)[None],
+            n_nodes=jnp.asarray([n], jnp.int32),
+        )
+        variables = CGCNet(mcfg).init(
+            {"params": jax.random.key(0)}, g0, train=False
+        )
+        inputs = prepare_mega_inputs(x, part, gmesh, n_real=n, bsr=tables)
 
-        @jax.jit
-        def fwd_bwd(x_):
-            def loss(xx):
-                out = sharded_gather_sum(xx, *args, mesh=gmesh)
-                return jnp.sum(out**2)
-
-            return jax.value_and_grad(loss)(x_)
-
-        val, grad = fwd_bwd(xd)
-        assert np.isfinite(float(val))
-        assert np.isfinite(np.asarray(jax.device_get(grad)).sum())
+        tx2 = optax.adam(1e-3)
+        opt_state = tx2.init(variables["params"])
+        slide_step = jax.jit(make_slide_train_step(mcfg, tx2, gmesh))
+        was_interp = bsr_kernel._INTERPRET
+        bsr_kernel.set_interpret(jax.default_backend() != "tpu")
+        try:
+            params, stats, opt_state, loss2 = slide_step(
+                variables["params"], variables.get("batch_stats", {}),
+                opt_state, inputs, jnp.asarray(1),
+                dropout_rng=jax.random.key(7),
+            )
+            assert np.isfinite(float(loss2)), f"slide step produced {loss2}"
+            delta = sum(
+                float(jnp.abs(a - b).sum())
+                for a, b in zip(
+                    jax.tree.leaves(params),
+                    jax.tree.leaves(variables["params"]),
+                )
+            )
+            assert delta > 0, "slide step did not move parameters"
+        finally:
+            bsr_kernel.set_interpret(was_interp)
