@@ -156,6 +156,16 @@ class DataConfig:
     # Keep loaded protos in RAM (a full CRC fold is ~1.4 GB; removes npz
     # parse cost from the per-epoch hot loop). Disable for huge datasets.
     cache_protos: bool = True
+    # Steady-state built-graph cache budget (MB). When sample content is
+    # epoch-PERIODIC — fixed-epoch mode wraps at epoch % num_fixed_epochs
+    # (the reference's 30 pre-baked epochs, prepare_cv_dataset.py:75-109),
+    # and full-graph kNN datasets never consume the RNG — revisits reuse the
+    # built graph (sampling/kNN/transpose/normalize all skipped), so from
+    # epoch num_fixed_epochs+1 on, loading costs one memcpy per patch.
+    # Inserts stop at the budget (no eviction — access is cyclic). 0 = off.
+    # Dynamic per-epoch sampling (the default) is unaffected: its content is
+    # epoch-unique by design and is never cached.
+    graph_cache_mb: int = 1024
     # Small graphs are kept whole: patches under this node count are not
     # subsampled (reference dataflow/data.py:199-201, colon task excluded there;
     # we keep the guard unconditionally — it only helps).

@@ -118,6 +118,14 @@ class NucleiGraphDataset:
         # (cfg.cache_protos; thread-safe via setdefault's atomicity)
         self._proto_cache: dict[str, object] = {}
         self._node_counts: dict[int, int] = {}
+        # steady-state built-graph cache (cfg.graph_cache_mb): key ->
+        # GraphSample (slow path) or filled-buffer tuple (fast path).
+        # Thread-safe under worker threads: inserts are setdefault-atomic,
+        # byte accounting under the lock, entries immutable once stored.
+        self._graph_cache: dict = {}
+        self._graph_cache_bytes = 0
+        self._graph_cache_lock = threading.Lock()
+        self.graph_cache_hits = 0
         if use_reference_stats:
             self.mean, self.std = stats_mod.reference_stats(
                 cfg.cross_val, cfg.feature_type
@@ -236,6 +244,40 @@ class NucleiGraphDataset:
             return min(int(n * cfg.sample_ratio), self.capacity)
         return min(n, self.capacity)
 
+    # ------------------------------------------------------------------
+    def _cache_key(self, idx: int, epoch: int):
+        """Built-graph cache key, or None when the sample's content is not
+        epoch-periodic (then caching would be wrong, not just wasteful).
+
+        Sample content is a pure function of (seed, patch, epoch)
+        (dataflow/rng.py). It is PERIODIC in the epoch exactly when the RNG
+        stream is not consumed per-epoch: fixed-epoch mode replays offline
+        choices keyed by epoch % num_fixed_epochs (reference protocol,
+        prepare_cv_dataset.py:75-109) and a full-graph kNN dataset samples
+        nothing at all. Dynamic subsampling and the random graph sampler
+        draw fresh per-epoch randomness — never cached.
+        """
+        cfg = self.cfg
+        if cfg.graph_cache_mb <= 0 or cfg.graph_sampler != "knn":
+            return None
+        if self.full_graph:
+            return (idx, 0)
+        if cfg.use_fixed:
+            return (idx, epoch % cfg.num_fixed_epochs)
+        return None
+
+    def _cache_put(self, key, value, nbytes: int) -> None:
+        with self._graph_cache_lock:
+            if (
+                self._graph_cache_bytes + nbytes
+                > self.cfg.graph_cache_mb * (1 << 20)
+            ):
+                return  # budget reached: later keys stay uncached (cyclic
+                # access makes LRU pointless — the resident set is stable)
+            if key not in self._graph_cache:
+                self._graph_cache[key] = value
+                self._graph_cache_bytes += nbytes
+
     def supports_fast_path(self) -> bool:
         """One-call native batch building (loader fast path): knn graphs with
         fuse/farthest/random sampling and spatial sort."""
@@ -261,6 +303,21 @@ class NucleiGraphDataset:
         single GIL-free native call. Returns (n_nodes, label); n_nodes -1
         signals transpose-width overflow (caller falls back to get())."""
         cfg = self.cfg
+        key = self._cache_key(idx, epoch)
+        if key is not None:
+            # buffer shapes are part of the key: dynamic buckets / widened
+            # transpose tables must never replay a mismatched entry
+            key = key + (out_x.shape[0], out_nbr_t.shape[1])
+            hit = self._graph_cache.get(key)
+            if hit is not None:
+                cx, cn, cm, cnt, cmt, n_nodes, label = hit
+                np.copyto(out_x, cx)
+                np.copyto(out_nbr, cn)
+                np.copyto(out_mask, cm)
+                np.copyto(out_nbr_t, cnt)
+                np.copyto(out_mask_t, cmt)
+                self.graph_cache_hits += 1
+                return n_nodes, label
         name = self.names[idx]
         proto = self._load_proto(name)
         n = proto.num_nodes
@@ -293,10 +350,22 @@ class NucleiGraphDataset:
             out_x=out_x, out_nbr=out_nbr, out_mask=out_mask,
             out_nbr_t=out_nbr_t, out_mask_t=out_mask_t,
         )
+        if key is not None and n_nodes >= 0:
+            entry = (
+                out_x.copy(), out_nbr.copy(), out_mask.copy(),
+                out_nbr_t.copy(), out_mask_t.copy(), n_nodes, proto.label,
+            )
+            self._cache_put(key, entry, sum(a.nbytes for a in entry[:5]))
         return n_nodes, proto.label
 
     def get(self, idx: int, epoch: int = 0) -> GraphSample:
         cfg = self.cfg
+        key = self._cache_key(idx, epoch)
+        if key is not None:
+            hit = self._graph_cache.get(key)
+            if hit is not None:
+                self.graph_cache_hits += 1
+                return hit  # immutable by convention (collate only reads)
         name = self.names[idx]
         proto = self._load_proto(name)
         feats = proto.full_features()
@@ -351,11 +420,18 @@ class NucleiGraphDataset:
 
         x = (self._slice_features(feats) - self.mean) / self.std
 
-        return GraphSample(
+        sample = GraphSample(
             x=np.asarray(x, np.float32), nbr=nbr, nbr_mask=mask,
             nbr_t=nbr_t, nbr_t_mask=mask_t,
             n_nodes=n, label=proto.label, patch_idx=idx, name=name,
         )
+        if key is not None:
+            self._cache_put(
+                key, sample,
+                sum(a.nbytes for a in (sample.x, sample.nbr, sample.nbr_mask,
+                                       sample.nbr_t, sample.nbr_t_mask)),
+            )
+        return sample
 
 
 def collate(

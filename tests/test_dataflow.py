@@ -317,6 +317,62 @@ class TestFastPath:
                 np.testing.assert_allclose(x[:n], s.x, atol=1e-6)
                 np.testing.assert_array_equal(nbr[:n], s.nbr)
 
+    def test_graph_cache_bit_identical_revisit(self, tmp_path):
+        """Steady-state cache (cfg.graph_cache_mb): epoch e + num_fixed
+        revisits must (a) hit the cache, (b) reproduce the uncached build
+        bit for bit, on both the fast and the slow path."""
+        from cgcnet_tpu.dataflow import native
+        from cgcnet_tpu.dataflow.fixed_epochs import generate_fixed_epochs
+
+        if not native.available():
+            pytest.skip("native lib not built")
+        ds = self._dataset(tmp_path, use_fixed=True, num_fixed_epochs=2)
+        generate_fixed_epochs(ds.cfg, processes=1)
+        # reference dataset with the cache OFF: ground truth for revisits
+        ref = self._dataset(tmp_path, use_fixed=True, num_fixed_epochs=2,
+                            graph_cache_mb=0)
+        generate_fixed_epochs(ref.cfg, processes=1)
+        cap = ds.capacity
+
+        def fill(d, idx, epoch):
+            x = np.empty((cap, 18), np.float32)
+            nbr = np.empty((cap, 8), np.int32)
+            mk = np.empty((cap, 8), np.float32)
+            nt = np.empty((cap, 32), np.int32)
+            mt = np.empty((cap, 32), np.float32)
+            n, y = d.fill_into(idx, epoch, x, nbr, mk, nt, mt)
+            return (x, nbr, mk, nt, mt, n, y)
+
+        for epoch in (0, 1):
+            for idx in range(len(ds.names)):
+                fill(ds, idx, epoch)
+                ds.get(idx, epoch)
+        assert ds.graph_cache_hits == 0
+        warm = len(ds.names) * 2 * 2  # get + fill per (idx, epoch)
+        for epoch in (2, 3):  # wrap onto fixed epochs 0, 1
+            for idx in range(len(ds.names)):
+                got = fill(ds, idx, epoch)
+                want = fill(ref, idx, epoch)
+                for a, b in zip(got, want):
+                    np.testing.assert_array_equal(a, b)
+                s, r = ds.get(idx, epoch), ref.get(idx, epoch)
+                np.testing.assert_array_equal(s.x, r.x)
+                np.testing.assert_array_equal(s.nbr, r.nbr)
+                np.testing.assert_array_equal(s.nbr_t, r.nbr_t)
+                assert (s.n_nodes, s.label) == (r.n_nodes, r.label)
+        assert ds.graph_cache_hits == warm
+        assert ref.graph_cache_hits == 0
+
+    def test_graph_cache_never_engages_for_dynamic_sampling(self, tmp_path):
+        """Dynamic per-epoch sampling draws fresh randomness — the cache
+        must stay cold or it would replay stale graphs."""
+        ds = self._dataset(tmp_path)  # default: online fuse sampling
+        for epoch in range(3):
+            for idx in range(len(ds.names)):
+                ds.get(idx, epoch)
+        assert ds.graph_cache_hits == 0
+        assert not ds._graph_cache
+
     def test_wire_path_matches_per_leaf(self, tmp_path):
         """Single-buffer wire transfer + device-side bitcast unpack must be
         bit-exact vs the per-leaf device_put path, field by field."""
