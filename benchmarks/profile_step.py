@@ -65,6 +65,14 @@ def summarize(trace_dir: str, iters: int, top_n: int = 40,
               plane_match: str = "TPU"):
     """Aggregate per-op self time from the newest .xplane.pb under trace_dir.
 
+    Reported PER LINE (= per hardware queue): the TPU device plane carries
+    one timeline for the TensorCore ("XLA Ops") plus several async queues
+    (DMA copy/slice engines). Summing across lines — what the round-2 parse
+    did — counts overlapped DMA as if it were serial compute and inflates a
+    ~8 ms step to ~49 ms of "self time". Per line this prints busy time,
+    idle gap (line span - busy: on the compute line, time the core stalls,
+    e.g. waiting on DMA), and the top ops.
+
     ``plane_match``: substring selecting device planes — "TPU" for real-chip
     traces (XLA op lines), "/host:CPU" lets tests drive the same parse path
     on a CPU-captured trace.
@@ -79,25 +87,35 @@ def summarize(trace_dir: str, iters: int, top_n: int = 40,
         if plane_match not in plane.name:
             continue
         evmeta = {m.id: m.name for m in plane.event_metadata.values()}
-        agg = defaultdict(float)
-        cnt = defaultdict(int)
         for line in plane.lines:
-            # XLA op lines carry the per-op self time; skip step/module lines
             if line.name.lower().startswith(("step", "xla modules")):
                 continue
+            agg = defaultdict(float)
+            cnt = defaultdict(int)
+            t0, t1 = None, None
             for ev in line.events:
                 name = evmeta.get(ev.metadata_id, "?")
                 agg[name] += ev.duration_ps / 1e9  # -> ms
                 cnt[name] += 1
-        if not agg:
-            continue
-        total = sum(agg.values())
-        print(f"\n== plane: {plane.name}  (total self time {total:.2f} ms, "
-              f"{total / iters * 1e3:.0f} us/step over {iters} steps) ==")
-        for name, ms in sorted(agg.items(), key=lambda kv: -kv[1])[:top_n]:
-            rows.append((name, ms))
-            print(f"{ms:8.2f} ms  {ms / iters * 1e3:7.1f} us/step  "
-                  f"x{cnt[name]:<5d} {name[:110]}")
+                s = ev.offset_ps
+                e = ev.offset_ps + ev.duration_ps
+                t0 = s if t0 is None else min(t0, s)
+                t1 = e if t1 is None else max(t1, e)
+            if not agg:
+                continue
+            busy = sum(agg.values())
+            span = (t1 - t0) / 1e9 if t0 is not None else 0.0
+            print(
+                f"\n== {plane.name} / line '{line.name}': busy "
+                f"{busy:.2f} ms ({busy / iters * 1e3:.0f} us/step), span "
+                f"{span:.2f} ms, gap {span - busy:.2f} ms "
+                f"({(span - busy) / iters * 1e3:.0f} us/step) over "
+                f"{iters} steps =="
+            )
+            for name, ms in sorted(agg.items(), key=lambda kv: -kv[1])[:top_n]:
+                rows.append((line.name, name, ms))
+                print(f"{ms:8.2f} ms  {ms / iters * 1e3:7.1f} us/step  "
+                      f"x{cnt[name]:<5d} {name[:110]}")
     return rows
 
 

@@ -84,7 +84,10 @@ def test_profile_step_parser_on_cpu_trace(tmp_path):
     rows = profile_step.summarize(logdir, iters=5, top_n=10,
                                   plane_match="/host:CPU")
     assert rows, "parser returned no op rows from a real trace"
-    assert all(isinstance(n, str) and ms >= 0 for n, ms in rows)
+    assert all(
+        isinstance(line, str) and isinstance(n, str) and ms >= 0
+        for line, n, ms in rows
+    )
 
 
 def test_bench_wait_gives_up_quickly(monkeypatch):
