@@ -8,6 +8,12 @@ activation with transplanted weights. torch-geometric itself is not installed
 in this image — these ~100 lines *are* the pinned semantics, written from the
 release sources, runnable on CPU torch.
 
+Validation status: tests/vendor/PYG_AUDIT.md is the line-by-line audit of
+this file — which semantics are pinned by reference call-site text, which are
+algebraically cross-checked in-repo, and which rest on the release text alone
+(vendoring the release is impossible here: zero egress, attempt recorded in
+the audit §1).
+
 This file is test infrastructure, not part of the framework.
 """
 
