@@ -77,53 +77,53 @@ def partition_graph(
     n, k = nbr.shape
     assert n % num_shards == 0, "pad the global graph to a multiple of shards"
     ns = n // num_shards
-    owner = nbr // ns
-    local = nbr % ns
+    nbr = np.ascontiguousarray(nbr, np.int32)
+    mask3 = mask.reshape(num_shards, ns, k) > 0
+    nbr3 = nbr.reshape(num_shards, ns, k)
+    owner3 = nbr3 // np.int32(ns)
+    is_local = owner3 == np.arange(num_shards, dtype=np.int32)[:, None, None]
 
-    # halo sets: for shard d, remote globals referenced by its rows
-    halos: list[np.ndarray] = []
-    for d in range(num_shards):
-        rows = slice(d * ns, (d + 1) * ns)
-        remote = (owner[rows] != d) & (mask[rows] > 0)
-        halos.append(np.unique(nbr[rows][remote]))
-
-    # per-peer request lists, capacity-padded
-    per_peer = [
-        [h[(h // ns) == e] for e in range(num_shards)] for h in halos
-    ]
-    need = max(
-        (len(lst) for peers in per_peer for lst in peers), default=0
-    )
+    # halo sets in ONE sort: key = requesting shard * n + wanted global node
+    # (a per-shard unique loop over 100k-node shards costs ~3x this)
+    remote = (~is_local) & mask3
+    d_of = np.repeat(
+        np.arange(num_shards, dtype=np.int64), int(ns) * k
+    ).reshape(num_shards, ns, k)
+    keys = np.unique(d_of[remote] * n + nbr3[remote].astype(np.int64))
+    key_d = (keys // n).astype(np.int32)
+    key_node = (keys % n).astype(np.int32)
+    key_e = key_node // np.int32(ns)
+    # per (d, e) counts -> capacity
+    de_counts = np.zeros((num_shards, num_shards), np.int64)
+    np.add.at(de_counts, (key_d, key_e), 1)
+    need = int(de_counts.max()) if keys.size else 0
     p = halo_capacity if halo_capacity is not None else max(need, 1)
     if need > p:
         raise ValueError(f"halo capacity {p} < required {need}")
 
     req_idx = np.zeros((num_shards, num_shards, p), np.int32)
     req_mask = np.zeros((num_shards, num_shards, p), np.float32)
+    # slot of each key within its (d, e) run (keys are sorted, so runs are
+    # contiguous and per-run slot = rank - run start)
+    run_key = key_d.astype(np.int64) * num_shards + key_e
+    run_start = np.searchsorted(run_key, run_key, side="left")
+    slot = (np.arange(len(keys)) - run_start).astype(np.int32)
+    # shard e sends rows (key_node % ns) to d: sender-indexed table
+    req_idx[key_e, key_d, slot] = key_node % np.int32(ns)
+    req_mask[key_e, key_d, slot] = 1.0
     # per-shard lookup: global node id -> halo slot (ns + e*p + slot)
-    halo_slot = np.full((num_shards, n), -1, np.int64)
-    for d in range(num_shards):
-        for e in range(num_shards):
-            if e == d:
-                continue
-            wanted = per_peer[d][e]
-            # shard e sends rows wanted (its locals) to d: stored at
-            # req_idx[e, d] (sender-indexed table)
-            req_idx[e, d, : len(wanted)] = (wanted % ns).astype(np.int32)
-            req_mask[e, d, : len(wanted)] = 1.0
-            halo_slot[d, wanted] = e * p + np.arange(len(wanted))
+    halo_slot = np.zeros((num_shards, n), np.int32)
+    halo_slot[key_d, key_node] = key_e * np.int32(p) + slot
 
-    nbr3 = nbr.reshape(num_shards, ns, k)
-    mask3 = (mask.reshape(num_shards, ns, k) > 0)
-    is_local = owner.reshape(num_shards, ns, k) == np.arange(num_shards)[:, None, None]
-    remap_local = local.reshape(num_shards, ns, k)
-    remap_halo = ns + np.take_along_axis(
-        halo_slot, nbr3.reshape(num_shards, -1).astype(np.int64), axis=1
+    own_row = np.broadcast_to(
+        np.arange(ns, dtype=np.int32)[None, :, None], nbr3.shape
+    )
+    remap_halo = np.int32(ns) + np.take_along_axis(
+        halo_slot, nbr3.reshape(num_shards, -1), axis=1
     ).reshape(num_shards, ns, k)
-    own_row = np.broadcast_to(np.arange(ns)[None, :, None], nbr3.shape)
     nbr_remap = np.where(
-        ~mask3, own_row, np.where(is_local, remap_local, remap_halo)
-    ).astype(np.int32)
+        ~mask3, own_row, np.where(is_local, nbr3 % np.int32(ns), remap_halo)
+    )
     nbr_mask = mask3.astype(np.float32)
 
     return ShardedGraphPartition(
