@@ -116,3 +116,25 @@ def test_bench_wait_gives_up_quickly(monkeypatch):
         bench.wait_for_backend(max_wait_s=0.0, probe_timeout_s=1)
     assert ei.value.code == 1
     assert calls and time.monotonic() - t0 < 5.0
+
+
+def test_halo_model_harness(tmp_path):
+    """The analytical halo model must run over real partition tables and
+    produce monotone comm growth + a sane overlap prediction."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from benchmarks.halo_model import main as halo_main
+
+    out = tmp_path / "halo.json"
+    art = halo_main([
+        "--nuclei", "6000", "--shards", "2", "4", "--out", str(out),
+    ])
+    rows = art["rows"]
+    assert [r["shards"] for r in rows] == [2, 4]
+    assert rows[0]["t_comm_us"] <= rows[1]["t_comm_us"]
+    for r in rows:
+        # interior dominates under spatial bands; overlap never loses
+        assert r["interior_frac"] > 0.5
+        assert r["pred_overlap_speedup"] >= 1.0
+    assert out.exists()
