@@ -27,6 +27,12 @@ def main(argv=None):
     p.add_argument("--nuclei", type=int, default=100_000)
     p.add_argument("--shards", type=int, default=0, help="0 = all devices")
     p.add_argument("--cpu", action="store_true", help="force 8-dev CPU mesh")
+    p.add_argument(
+        "--slides", type=int, default=1,
+        help="grade a stream of N slides (--synthetic: distinct seeds), "
+             "host build of slide i+1 pipelined behind the forward of "
+             "slide i; sticky shape caps keep ONE compiled executable",
+    )
     p.add_argument("overrides", nargs="*")
     args = p.parse_args(argv)
 
@@ -96,13 +102,13 @@ def main(argv=None):
         variables = restored
         print(f"loaded {len(copied)} tensors from {args.ckpt}")
 
-    fwd = jax.jit(lambda v: mega_forward(v, mcfg, inputs, mesh, train=False,
-                                     halo_overlap=cfg.mesh.halo_overlap))
+    fwd = jax.jit(lambda v, i: mega_forward(v, mcfg, i, mesh, train=False,
+                                            halo_overlap=cfg.mesh.halo_overlap))
     t0 = time.perf_counter()
-    logits = np.asarray(jax.device_get(fwd(variables)))
+    logits = np.asarray(jax.device_get(fwd(variables, inputs)))
     t_fwd_c = time.perf_counter() - t0
     t0 = time.perf_counter()
-    logits = np.asarray(jax.device_get(fwd(variables)))
+    logits = np.asarray(jax.device_get(fwd(variables, inputs)))
     t_fwd = time.perf_counter() - t0
 
     pred = int(np.argmax(logits))
@@ -118,6 +124,51 @@ def main(argv=None):
     )
     print(f"logits {logits}  predicted grade {pred + 1}"
           + (f" (true {label + 1})" if label is not None else ""))
+
+    if args.slides > 1:
+        # ---- streaming mode: pipeline host build behind device forward ----
+        if not args.synthetic:
+            p.error("--slides N currently pairs with --synthetic")
+        from concurrent.futures import ThreadPoolExecutor
+
+        from cgcnet_tpu.parallel.slide_setup import SlideCaps
+
+        def _w(a):  # table width (1 when the BSR path is off)
+            return a.shape[-1] if a is not None else 1
+
+        caps = SlideCaps().grown(
+            build.part.halo_capacity,
+            _w(inputs.nbr_t), _w(inputs.blk_cols), _w(inputs.blk_cols_t),
+        )
+
+        def build_one(i):
+            nonlocal caps
+            f, c = synthetic_slide(args.nuclei, seed=1000 + i)
+            b = build_slide_inputs(cfg, f, c, shards, mesh, caps=caps)
+            caps = b.caps or caps
+            return b
+
+        preds = []
+        t0 = time.perf_counter()
+        with ThreadPoolExecutor(max_workers=1) as ex:
+            nxt = ex.submit(build_one, 0)
+            for i in range(args.slides):
+                b = nxt.result()
+                if i + 1 < args.slides:
+                    nxt = ex.submit(build_one, i + 1)
+                preds.append(int(np.argmax(
+                    np.asarray(jax.device_get(fwd(variables, b.inputs)))
+                )))
+        wall = time.perf_counter() - t0
+        cache = fwd._cache_size() if hasattr(fwd, "_cache_size") else None
+        print(
+            f"stream: {args.slides} slides in {wall:.2f} s "
+            f"({args.slides / wall:.1f} slides/s, pipelined host build), "
+            f"compiled executables: {cache}, preds {preds}"
+        )
+        return {"logits": logits, "pred": pred, "stream_preds": preds,
+                "slides_per_s": args.slides / wall,
+                "compiled": cache}
     return {"logits": logits, "pred": pred}
 
 

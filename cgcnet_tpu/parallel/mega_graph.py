@@ -156,10 +156,19 @@ def build_bsr_tables(
     part: ShardedGraphPartition,
     max_blocks: int = 16,
     tile: int = 128,
+    kt_cap: int | None = None,
+    m_cap: int | None = None,
+    mt_cap: int | None = None,
 ) -> ShardedBsrTables | None:
     """Host-side BSR metadata for every shard's local operator. Returns None
     when the layout is not tileable (Ns not a multiple of 128) or a shard
-    exceeds ``max_blocks`` column tiles per row tile."""
+    exceeds ``max_blocks`` column tiles per row tile.
+
+    ``kt_cap``/``m_cap``/``mt_cap`` optionally FIX the transpose ELL width
+    and blocks-per-row-tile instead of using this slide's minima — multi-
+    slide streaming pads every slide to sticky caps so the jitted step keeps
+    ONE compiled shape (cli/slide.py --slides). ValueError when a cap is too
+    small (callers grow the sticky cap and rebuild)."""
     from cgcnet_tpu.ops.pallas.bsr_kernel import bsr_block_meta
 
     d, ns, k = part.nbr_remap.shape
@@ -185,6 +194,10 @@ def build_bsr_tables(
         kt = max(kt, int(counts.max()) if len(dst) else 1)
         nbr_ts.append((src, dst, counts))
     kt = max(kt, 1)
+    if kt_cap is not None:
+        if kt > kt_cap:
+            raise ValueError(f"kt_cap {kt_cap} < required {kt}")
+        kt = kt_cap
     t_idx = np.zeros((d, nc, kt), np.int32)
     t_mask = np.zeros((d, nc, kt), np.float32)
     for di, (src, dst, counts) in enumerate(nbr_ts):
@@ -209,6 +222,16 @@ def build_bsr_tables(
     # one static M across shards (shard_map needs identical shapes)
     m = max(max(mm[2] for mm in metas), 1)
     mt = max(max(mm[2] for mm in metas_t), 1)
+    if m_cap is not None:
+        if m > m_cap:
+            raise ValueError(f"m_cap {m_cap} < required {m}")
+        assert m_cap <= max_blocks, (m_cap, max_blocks)
+        m = m_cap
+    if mt_cap is not None:
+        if mt > mt_cap:
+            raise ValueError(f"mt_cap {mt_cap} < required {mt}")
+        assert mt_cap <= max_blocks, (mt_cap, max_blocks)
+        mt = mt_cap
     return ShardedBsrTables(
         blk_cols=np.stack([mm[0][:, :m] for mm in metas]),
         blk_mask=np.stack([mm[1][:, :m] for mm in metas]),

@@ -29,6 +29,38 @@ class SlideBuild:
     bsr: bool               # Pallas BSR tables built
     t_graph_s: float        # radius-graph build time
     t_part_s: float         # partition (+BSR table) time
+    caps: "SlideCaps | None" = None  # sticky caps actually used
+
+
+@dataclass
+class SlideCaps:
+    """Sticky shape caps for multi-slide streaming.
+
+    Every per-slide table dimension that varies with graph structure (halo
+    capacity P, BSR blocks per row tile M/MT, transpose ELL width KT) is
+    padded UP to these caps so consecutive slides of the same node capacity
+    share one compiled executable — the same sticky-cap idea the patch
+    loader uses for its BSR tables. ``grow`` quantizes a slide's needs up
+    (P to 64, KT to 4, M/MT to 2) so one slightly-denser slide doesn't
+    recompile the stream; a grown cap is carried forward by the caller.
+    """
+
+    halo_p: int = 0
+    kt: int = 0
+    m: int = 0
+    mt: int = 0
+
+    @staticmethod
+    def _q(v: int, q: int) -> int:
+        return -(-max(v, 1) // q) * q
+
+    def grown(self, halo_p: int, kt: int, m: int, mt: int) -> "SlideCaps":
+        return SlideCaps(
+            halo_p=max(self.halo_p, self._q(halo_p, 64)),
+            kt=max(self.kt, self._q(kt, 4)),
+            m=max(self.m, self._q(m, 2)),
+            mt=max(self.mt, self._q(mt, 2)),
+        )
 
 
 def synthetic_slide(nuclei: int, seed: int = 0):
@@ -41,18 +73,67 @@ def synthetic_slide(nuclei: int, seed: int = 0):
     return feats, coords
 
 
-def build_slide_inputs(cfg, feats, coords, shards, mesh) -> SlideBuild:
+def _build_part_tables(nbrp, maskp, shards, caps, want_bsr):
+    """Partition + BSR tables, padded to sticky ``caps`` when given.
+
+    Returns (part, tables, caps_used). A slide that outgrows the caps falls
+    back to a plain build, grows the caps (quantized — SlideCaps.grown), and
+    rebuilds padded so the stream's compiled shapes stay stable."""
+    from cgcnet_tpu.parallel.mega_graph import (
+        build_bsr_tables,
+        partition_graph,
+    )
+
+    if caps is not None and caps.halo_p:
+        try:
+            part = partition_graph(
+                nbrp, maskp, shards, halo_capacity=caps.halo_p
+            )
+            tables = (
+                build_bsr_tables(
+                    part, kt_cap=caps.kt, m_cap=caps.m, mt_cap=caps.mt
+                )
+                if want_bsr
+                else None
+            )
+            return part, tables, caps
+        except ValueError:
+            pass  # outgrown: learn this slide's needs below
+    part = partition_graph(nbrp, maskp, shards)
+    tables = build_bsr_tables(part) if want_bsr else None
+    if caps is None:
+        return part, tables, None
+    grown = caps.grown(
+        part.halo_capacity,
+        tables.nbr_t.shape[-1] if tables is not None else 1,
+        tables.blk_cols.shape[-1] if tables is not None else 1,
+        tables.blk_cols_t.shape[-1] if tables is not None else 1,
+    )
+    part = partition_graph(nbrp, maskp, shards, halo_capacity=grown.halo_p)
+    tables = (
+        build_bsr_tables(
+            part, kt_cap=grown.kt, m_cap=grown.m, mt_cap=grown.mt
+        )
+        if want_bsr
+        else None
+    )
+    return part, tables, grown
+
+
+def build_slide_inputs(cfg, feats, coords, shards, mesh,
+                       caps: SlideCaps | None = None) -> SlideBuild:
     """feats [N, F_raw], coords [N, 2] -> sharded MegaInputs on ``mesh``.
 
     Normalization uses the reference per-fold stats tables
     (dataflow/stats.py); BSR tables are built only on TPU backends, where
-    the Pallas aggregation kernel runs (XLA gathers elsewhere).
+    the Pallas aggregation kernel runs (XLA gathers elsewhere). ``caps``
+    (multi-slide streaming) pads the variable table dims to sticky caps —
+    pass the previous slide's ``SlideBuild.caps`` forward.
     """
     import jax
 
     from cgcnet_tpu.dataflow import native, stats as stats_mod
     from cgcnet_tpu.ops.knn import radius_knn_np
-    from cgcnet_tpu.parallel.mega_graph import partition_graph
     from cgcnet_tpu.parallel.mega_model import prepare_mega_inputs
 
     n = len(coords)
@@ -84,12 +165,10 @@ def build_slide_inputs(cfg, feats, coords, shards, mesh) -> SlideBuild:
     t_graph = time.perf_counter() - t0
 
     t0 = time.perf_counter()
-    part = partition_graph(nbrp, maskp, shards)
-    tables = None
-    if jax.default_backend() == "tpu":
-        from cgcnet_tpu.parallel.mega_graph import build_bsr_tables
-
-        tables = build_bsr_tables(part)
+    want_bsr = jax.default_backend() == "tpu"
+    part, tables, caps_used = _build_part_tables(
+        nbrp, maskp, shards, caps, want_bsr
+    )
     t_part = time.perf_counter() - t0
     inputs = prepare_mega_inputs(xp, part, mesh, n_real=n, bsr=tables)
 
@@ -101,6 +180,7 @@ def build_slide_inputs(cfg, feats, coords, shards, mesh) -> SlideBuild:
         input_dim=x.shape[1],
         edges=int(maskp.sum()),
         bsr=tables is not None,
+        caps=caps_used,
         t_graph_s=t_graph,
         t_part_s=t_part,
     )

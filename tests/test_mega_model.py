@@ -334,3 +334,53 @@ def test_head_dropout_fires_in_training(rng):
     assert not np.allclose(
         np.asarray(dropped), np.asarray(step(jax.random.key(4)))
     )
+
+
+def test_bsr_capped_tables_match_uncapped(rng):
+    """Sticky-cap padded BSR tables (multi-slide streaming,
+    slide_setup.SlideCaps) must be numerically identical to minimal tables:
+    padded block slots carry zero values/masks and padded transpose slots
+    zero weights."""
+    import cgcnet_tpu.ops.pallas.bsr_kernel as bk
+    from cgcnet_tpu.parallel.mega_graph import build_bsr_tables
+
+    n_real, cap, d = 200, 256, 2
+    x, nbr, mask = build(rng, n_real, cap)
+    cfg = ModelConfig(
+        input_dim=18, max_num_nodes=320, assign_ratio=0.2,
+        hidden_dim=8, embedding_dim=8, assign_hidden_dim=8,
+        drop_out=0.0, use_pallas=False,
+    )
+    g = CellGraph(
+        x=jnp.asarray(x)[None], nbr=jnp.asarray(nbr)[None],
+        nbr_mask=jnp.asarray(mask)[None],
+        n_nodes=jnp.asarray([n_real], jnp.int32),
+    )
+    variables = CGCNet(cfg).init({"params": jax.random.key(5)}, g, train=False)
+    mesh = make_mesh(1, d, devices=jax.devices()[:d])
+
+    part_min = partition_graph(nbr, mask, d)
+    t_min = build_bsr_tables(part_min)
+    p_cap = -(-part_min.halo_capacity // 64) * 64
+    part_cap = partition_graph(nbr, mask, d, halo_capacity=p_cap)
+    t_cap = build_bsr_tables(
+        part_cap,
+        kt_cap=t_min.nbr_t.shape[-1] + 3,
+        m_cap=min(t_min.blk_cols.shape[-1] + 2, 16),
+        mt_cap=min(t_min.blk_cols_t.shape[-1] + 2, 16),
+    )
+    assert t_cap.blk_cols.shape[-1] > t_min.blk_cols.shape[-1]
+    in_min = prepare_mega_inputs(x, part_min, mesh, n_real=n_real, bsr=t_min)
+    in_cap = prepare_mega_inputs(x, part_cap, mesh, n_real=n_real, bsr=t_cap)
+
+    bk.set_interpret(True)
+    try:
+        out_min = np.asarray(jax.jit(
+            lambda v: mega_forward(v, cfg, in_min, mesh, train=False)
+        )(variables))
+        out_cap = np.asarray(jax.jit(
+            lambda v: mega_forward(v, cfg, in_cap, mesh, train=False)
+        )(variables))
+        np.testing.assert_allclose(out_cap, out_min, atol=3e-5)
+    finally:
+        bk.set_interpret(False)

@@ -74,3 +74,40 @@ def test_slide_cli_synthetic(capsys):
     assert logits.shape[-1] == 3 and np.isfinite(logits).all()
     out = capsys.readouterr().out
     assert "600 nuclei, 2 shards" in out
+
+
+def test_slide_stream_sticky_caps(capsys):
+    """--slides N: sticky caps hold one compiled shape across a stream and
+    capped tables change nothing numerically."""
+    import jax
+
+    from cgcnet_tpu.cli.slide import main as slide_main
+    from cgcnet_tpu.config import Config
+    from cgcnet_tpu.parallel.mesh import make_mesh
+    from cgcnet_tpu.parallel.slide_setup import (
+        SlideCaps,
+        build_slide_inputs,
+        synthetic_slide,
+    )
+
+    result = slide_main([
+        "--synthetic", "--nuclei", "600", "--shards", "2", "--cpu",
+        "--slides", "3",
+        "model.hidden_dim=8", "model.embedding_dim=8",
+        "model.assign_hidden_dim=8", "model.max_num_nodes=768",
+    ])
+    assert len(result["stream_preds"]) == 3
+    # one executable for the whole stream (+1 for the single-slide demo)
+    assert result["compiled"] is None or result["compiled"] <= 2
+
+    # caps carried across builds pin the variable table dims
+    cfg = Config()
+    mesh = make_mesh(1, 2)
+    caps = SlideCaps()
+    shapes = set()
+    for seed in range(3):
+        f, c = synthetic_slide(600, seed=seed)
+        b = build_slide_inputs(cfg, f, c, 2, mesh, caps=caps)
+        caps = b.caps
+        shapes.add(tuple(np.shape(b.inputs.req_idx)))
+    assert len(shapes) == 1, shapes
