@@ -216,7 +216,11 @@ def main() -> None:
             tx = make_optimizer(cfg.train, steps_per_epoch=100)
             model, state = create_train_state(cfg, tx, graph)
             step_fn = make_train_step(model)
-            iters = 20
+            # 60 chained steps amortize the ~30-40 ms relay dispatch+sync
+            # overhead per jitted call to <1 ms/step: at iters=20 the wall
+            # quotient over-reported the 6.3-6.4 ms device step (xplane span,
+            # benchmarks/profile_bf16_r3.txt) as 8.0-8.3 ms
+            iters = 60
 
             @jax.jit
             def many_steps(s):
