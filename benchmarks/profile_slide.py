@@ -65,7 +65,8 @@ def capture(nuclei: int, iters: int = 10, trace_dir: str = "/tmp/prof_slide"):
     tx = optax.adam(1e-3)
     opt_state = tx.init(params)
     step = make_slide_train_step(
-        mcfg, tx, mesh, halo_overlap=cfg.mesh.halo_overlap
+        mcfg, tx, mesh, halo_overlap=cfg.mesh.halo_overlap,
+        remat=cfg.mesh.remat,
     )
     label = jnp.asarray(1)
     key = jax.random.key(0)

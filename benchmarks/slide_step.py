@@ -86,6 +86,7 @@ def main(argv=None):
     opt_state = tx.init(params)
     step = make_slide_train_step(
         mcfg, tx, mesh, halo_overlap=cfg.mesh.halo_overlap,
+        remat=cfg.mesh.remat,
     )
     label = jnp.asarray(1)
     key = jax.random.key(0)

@@ -110,7 +110,8 @@ def main(argv=None):
         print(f"loaded {len(copied)} tensors from {args.ckpt}")
 
     fwd = jax.jit(lambda v, i: mega_forward(v, mcfg, i, mesh, train=False,
-                                            halo_overlap=cfg.mesh.halo_overlap))
+                                            halo_overlap=cfg.mesh.halo_overlap,
+                                            remat=cfg.mesh.remat))
     t0 = time.perf_counter()
     logits = np.asarray(jax.device_get(fwd(variables, inputs)))
     t_fwd_c = time.perf_counter() - t0

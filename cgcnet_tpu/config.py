@@ -231,6 +231,11 @@ class MeshConfig:
     # boundary parts so XLA overlaps the halo all_to_all with interior
     # compute. Pays on real ICI; neutral on a virtual CPU mesh.
     halo_overlap: bool = True
+    # Rematerialize the pool-1 assignment segment in the slide backward
+    # (jax.checkpoint): the [Ns, 1140]-class tensors (assign logits, S, A@S)
+    # are recomputed instead of stored, trading ~one extra pool-1 forward
+    # for the dominant activation memory at 1M-nuclei scale.
+    remat: bool = False
 
 
 @dataclass

@@ -460,6 +460,7 @@ def mega_forward(
     train: bool = False,
     axis: str = "graph",
     halo_overlap: bool = False,
+    remat: bool = False,
     return_stats: bool = False,
     dropout_rng=None,
 ) -> jax.Array:
@@ -511,17 +512,33 @@ def mega_forward(
         # unlike pmax), max across shards
         local_max = jnp.max(jnp.where(valid[:, None] > 0, embed, neg), 0)
         read1 = jnp.max(jax.lax.all_gather(local_max, axis), 0)
-        assign = _stage1_block(
-            params, stats, "pool1", x, adj, valid, cfg, axis, train,
-            lin=True, stats_out=stats_out,
+
+        def pool1_segment(pool_params, pool_stats, px, pembed):
+            # stats flow OUT as explicit returns (jax.checkpoint purity)
+            so: dict = {}
+            assign = _stage1_block(
+                {"pool1": pool_params}, {"pool1": pool_stats}, "pool1",
+                px, adj, valid, cfg, axis, train,
+                lin=True, stats_out=so,
+            )
+            # assignment softmax in f32 (nn/blocks.py:360 island), to dtype
+            s = jax.nn.softmax(assign.astype(jnp.float32), -1).astype(
+                dtype
+            ) * valid[:, None]
+            x_pool = jax.lax.psum(s.T @ pembed, axis)            # [d1, F]
+            a_s = adj(s)                                         # [Ns, d1]
+            adj_pool = jax.lax.psum(s.T @ a_s, axis)             # [d1, d1]
+            return x_pool, adj_pool, so.get("pool1", {})
+
+        if remat:
+            # the [Ns, d1]-class tensors (assign logits, S, A@S) dominate
+            # slide-scale activation memory; recompute them in the backward
+            pool1_segment = jax.checkpoint(pool1_segment)
+        x_pool, adj_pool, pool1_stats = pool1_segment(
+            params["pool1"], (stats or {}).get("pool1", {}), x, embed
         )
-        # assignment softmax in f32 (nn/blocks.py:360 island), back to dtype
-        s = jax.nn.softmax(assign.astype(jnp.float32), -1).astype(
-            dtype
-        ) * valid[:, None]
-        x_pool = jax.lax.psum(s.T @ embed, axis)                 # [d1, F]
-        a_s = adj(s)                                             # [Ns, d1]
-        adj_pool = jax.lax.psum(s.T @ a_s, axis)                 # [d1, d1]
+        if pool1_stats:
+            stats_out["pool1"] = pool1_stats
 
         # ---- stages 2-3 (replicated) ----
         from cgcnet_tpu.ops.ell import renorm_dense

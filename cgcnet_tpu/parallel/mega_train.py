@@ -23,6 +23,7 @@ def make_slide_train_step(
     tx: optax.GradientTransformation,
     mesh,
     halo_overlap: bool = False,
+    remat: bool = False,
 ):
     """Returns step(params, batch_stats, opt_state, inputs, label) ->
     (params, batch_stats, opt_state, loss). BN uses cross-shard batch
@@ -36,7 +37,7 @@ def make_slide_train_step(
             logits, new_stats = mega_forward(
                 {"params": p, "batch_stats": batch_stats},
                 cfg, inputs, mesh, train=True,
-                halo_overlap=halo_overlap, return_stats=True,
+                halo_overlap=halo_overlap, remat=remat, return_stats=True,
                 dropout_rng=dropout_rng,
             )
             logp = jax.nn.log_softmax(logits)
@@ -64,6 +65,7 @@ def train_slides(
     lr: float = 1e-3,
     epochs: int = 1,
     seed: int = 0,
+    remat: bool = False,
 ) -> tuple[dict, list[float]]:
     """Minimal slide-level fine-tuning loop. Returns (variables, losses).
     Head dropout (cfg.drop_out, matching patch training) is driven by a
@@ -72,7 +74,7 @@ def train_slides(
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
     opt_state = tx.init(params)
-    step = jax.jit(make_slide_train_step(cfg, tx, mesh))
+    step = jax.jit(make_slide_train_step(cfg, tx, mesh, remat=remat))
     losses = []
     base = jax.random.key(seed)
     for epoch in range(epochs):

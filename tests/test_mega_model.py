@@ -384,3 +384,54 @@ def test_bsr_capped_tables_match_uncapped(rng):
         np.testing.assert_allclose(out_cap, out_min, atol=3e-5)
     finally:
         bk.set_interpret(False)
+
+
+def test_remat_pool1_matches_plain(rng):
+    """mesh.remat (jax.checkpoint of the pool-1 segment) must leave logits,
+    gradients and BN stat updates bit-compatible with the stored-activation
+    path — it only changes WHEN tensors are computed."""
+    n_real, cap, d = 200, 256, 2
+    x, nbr, mask = build(rng, n_real, cap)
+    cfg = ModelConfig(
+        input_dim=18, max_num_nodes=320, assign_ratio=0.2,
+        hidden_dim=8, embedding_dim=8, assign_hidden_dim=8,
+        drop_out=0.0, use_pallas=False,
+    )
+    g = CellGraph(
+        x=jnp.asarray(x)[None], nbr=jnp.asarray(nbr)[None],
+        nbr_mask=jnp.asarray(mask)[None],
+        n_nodes=jnp.asarray([n_real], jnp.int32),
+    )
+    variables = CGCNet(cfg).init({"params": jax.random.key(7)}, g, train=False)
+    mesh = make_mesh(1, d, devices=jax.devices()[:d])
+    part = partition_graph(nbr, mask, d)
+    inp = prepare_mega_inputs(x, part, mesh, n_real=n_real)
+
+    def run(remat):
+        out = jax.jit(lambda v: mega_forward(
+            v, cfg, inp, mesh, train=False, remat=remat
+        ))(variables)
+
+        def loss(params):
+            v = {"params": params, "batch_stats": variables["batch_stats"]}
+            logits, st = mega_forward(
+                v, cfg, inp, mesh, train=True, remat=remat,
+                return_stats=True,
+            )
+            return -jax.nn.log_softmax(logits)[1], st
+
+        (l, st), grads = jax.jit(
+            jax.value_and_grad(loss, has_aux=True)
+        )(variables["params"])
+        return out, l, grads, st
+
+    o0, l0, g0, s0 = run(False)
+    o1, l1, g1, s1 = run(True)
+    np.testing.assert_allclose(np.asarray(o1), np.asarray(o0), atol=1e-6)
+    np.testing.assert_allclose(float(l1), float(l0), atol=1e-6)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-5, rtol=1e-4
+        ),
+        (g0, s0), (g1, s1),
+    )
