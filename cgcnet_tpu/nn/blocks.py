@@ -368,39 +368,52 @@ def diff_pool(
 
 
 @jax.custom_vjp
-def _contract_dual(
+def _contract_dual_pair(
     s_t: jax.Array,  # [B, C, N] (kernel-emitted transpose of s)
     s: jax.Array,    # [B, N, C] (same values)
-    rhs: jax.Array,  # [B, N, F]
-) -> jax.Array:
-    """S^T @ rhs using the pre-transposed operand forward, and the UNTRANSPOSED
-    operand backward.
+    x: jax.Array,    # [B, N, F]
+    a_s: jax.Array,  # [B, N, C]
+) -> tuple[jax.Array, jax.Array]:
+    """(S^T x, S^T (A S)) as ONE feature-concatenated contraction pair.
 
     The caller guarantees ``s_t == swapaxes(s, 1, 2)`` (both come out of the
-    fused assign kernel in one pass). Forward contracts with ``s_t`` so no
-    relayout copy precedes the matmul. Backward reroutes the s_t-cotangent
-    onto ``s`` in [B, N, C] layout — einsum autodiff would otherwise emit
-    d rhs as a middle-dim contraction over s_t (a relayout + slow matmul,
-    ~440 us/step at the canonical shape) and d s_t in the transposed layout
-    that the kernel VJP would immediately swap back.
+    fused assign kernel in one pass): forward contracts with the
+    pre-transposed operand so no relayout copy precedes the matmul, and the
+    backward reroutes the s_t-cotangent onto ``s`` in [B, N, C] layout.
+    Both DiffPool products share every matmul pass: forward contracts S^T
+    against
+    [x | A S] (the F=20 columns ride the C=1140 pass ~free), and — the real
+    win — backward computes d s = [x | A S] @ [ct_x | ct_adj]^T as ONE
+    k=F+C matmul. Run separately, the d s contribution from the pooled-x
+    product is a k=F(=20) batched matmul that costs MXU pass-granularity,
+    not FLOPs (profiled 552 us/step at the canonical shape, r3 profile), and
+    autodiff then adds the two [B, N, C] contributions — another S-sized
+    HBM round trip. Fused, both disappear into the k=C pass.
     """
-    return jnp.einsum("bcn,bnf->bcf", s_t, rhs, preferred_element_type=rhs.dtype)
+    rhs = jnp.concatenate([x, a_s], axis=-1)
+    out = jnp.einsum("bcn,bnf->bcf", s_t, rhs, preferred_element_type=rhs.dtype)
+    f = x.shape[-1]
+    return out[..., :f], out[..., f:]
 
 
-def _cd_fwd(s_t, s, rhs):
-    return _contract_dual(s_t, s, rhs), (s, rhs)
+def _cdp_fwd(s_t, s, x, a_s):
+    rhs = jnp.concatenate([x, a_s], axis=-1)
+    out = jnp.einsum("bcn,bnf->bcf", s_t, rhs, preferred_element_type=rhs.dtype)
+    f = x.shape[-1]
+    return (out[..., :f], out[..., f:]), (s, rhs, f)
 
 
-def _cd_bwd(res, ct):
-    s, rhs = res
-    # d s (routed from the s_t use): [B,N,C] = rhs @ ct^T, minor-dim contractions
+def _cdp_bwd(res, cts):
+    s, rhs, f = res
+    ct = jnp.concatenate(cts, axis=-1)                 # [B, C, F+C]
+    # d s (both products' contributions in one k=F+C matmul)
     ds = jnp.einsum("bnf,bcf->bnc", rhs, ct, preferred_element_type=s.dtype)
-    # d rhs: clean [N,C]@[C,F] matmul on the untransposed s
-    drhs = jnp.einsum("bnc,bcf->bnf", s, ct, preferred_element_type=rhs.dtype)
-    return jnp.zeros_like(ct, shape=(s.shape[0], s.shape[2], s.shape[1])), ds, drhs
+    d_rhs = jnp.einsum("bnc,bcf->bnf", s, ct, preferred_element_type=rhs.dtype)
+    zero_st = jnp.zeros((s.shape[0], s.shape[2], s.shape[1]), s.dtype)
+    return zero_st, ds, d_rhs[..., :f], d_rhs[..., f:]
 
 
-_contract_dual.defvjp(_cd_fwd, _cd_bwd)
+_contract_dual_pair.defvjp(_cdp_fwd, _cdp_bwd)
 
 
 def diff_pool_from_s(
@@ -411,8 +424,7 @@ def diff_pool_from_s(
 ) -> tuple[jax.Array, jax.Array]:
     """DiffPool contractions for a precomputed dual-layout S (the fused
     assign-head path): the S^T operands come pre-transposed so XLA inserts
-    no relayout copies, forward or backward (``_contract_dual``)."""
-    pooled_x = _contract_dual(s_t, s, x)
+    no relayout copies, forward or backward, and the two products fuse into
+    one contraction pair (``_contract_dual_pair``)."""
     a_s = adj.matvec(s)
-    pooled_adj = _contract_dual(s_t, s, a_s)
-    return pooled_x, pooled_adj
+    return _contract_dual_pair(s_t, s, x, a_s)
