@@ -13,8 +13,15 @@ weak #3). This version has statistical teeth:
   cross-val patch/image accuracy per precision.
 
 Acceptance criterion (ASSERTED into the artifact, not just documented):
-bf16 mean patch accuracy >= f32 mean patch accuracy - 1 sd. A failing run
-writes "criterion_pass": false loudly rather than recording silently.
+the one-sided 95% Welch upper confidence bound on the seed-level
+degradation (f32 mean - bf16 mean) must be below 2 percentage points —
+i.e. the data must rule out a real bf16 accuracy loss >= 2pp, seeds as
+the unit of replication. (The r3 first cut used "bf16m >= f32m - 1 sd of
+f32", which compares a mean against the OTHER group's point spread — at
+near-ceiling accuracies the f32 sd collapses and one noisy bf16 seed
+flips the verdict. The Welch bound is the standard two-sample statement
+of the same intent.) A failing run writes "criterion_pass": false loudly
+rather than recording silently.
 
 Usage:
     python benchmarks/convergence.py [epochs] [out.json] [--seeds N] [--cpu]
@@ -119,8 +126,24 @@ def main(argv=None):
     import jax
 
     f32m, f32s = runs["float32"]["patch_acc_mean_sd"]
-    bf16m, _ = runs["bfloat16"]["patch_acc_mean_sd"]
-    criterion = bf16m >= f32m - f32s
+    bf16m, bf16s = runs["bfloat16"]["patch_acc_mean_sd"]
+    # One-sided 95% Welch upper bound on the degradation f32m - bf16m.
+    # Must rule out a >= 2pp real loss (seeds are the replication unit).
+    from scipy import stats as sps
+
+    n1 = len(runs["float32"]["seeds"])
+    n2 = len(runs["bfloat16"]["seeds"])
+    se = (f32s**2 / n1 + bf16s**2 / n2) ** 0.5
+    if se > 0:
+        df = (f32s**2 / n1 + bf16s**2 / n2) ** 2 / (
+            (f32s**2 / n1) ** 2 / (n1 - 1) + (bf16s**2 / n2) ** 2 / (n2 - 1)
+        )
+        tcrit = float(sps.t.ppf(0.95, df))
+    else:
+        df, tcrit = float(n1 + n2 - 2), 0.0
+    margin = 0.02
+    degradation_ub = (f32m - bf16m) + tcrit * se
+    criterion = degradation_ub < margin
     artifact = {
         "desc": "3-fold cross-val convergence, canonical config, 216-patch "
                 "synthetic 3-grade dataset, test-time multi-sampling eval; "
@@ -131,7 +154,12 @@ def main(argv=None):
         "n_seeds": n_seeds,
         "measured_utc": time.strftime("%Y-%m-%dT%H:%MZ", time.gmtime()),
         "results": runs,
-        "criterion": "bf16 mean patch_acc >= f32 mean patch_acc - 1 sd",
+        "criterion": "one-sided 95% Welch upper bound on (f32 - bf16) mean "
+                     "patch_acc degradation < 2pp (seeds as replication "
+                     "unit)",
+        "degradation_mean": round(f32m - bf16m, 4),
+        "degradation_ub95": round(degradation_ub, 4),
+        "welch_df": round(df, 2),
         "criterion_pass": bool(criterion),
     }
     with open(out_path, "w") as f:

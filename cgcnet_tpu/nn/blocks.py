@@ -105,6 +105,24 @@ class GNNBlock(fnn.Module):
             h = bn(h, use_running_average=not train, mask=bn_mask)
         return h
 
+    def bn_affine(self, i: int) -> tuple[jax.Array, jax.Array, float]:
+        """(scale, bias, eps) of bn_i — read by the dual-stream tail, which
+        normalizes both paired streams with one concatenated affine."""
+        bn = (self.bn1, self.bn2, self.bn3)[i - 1]
+        return bn.scale_p, bn.bias_p, bn.eps
+
+    def bn_push(self, i: int, mean, var, n) -> None:
+        """Running-stat update of bn_i from externally computed moments
+        (the dual-stream tail computes both streams' statistics in one
+        kernel and pushes each block its slice)."""
+        (self.bn1, self.bn2, self.bn3)[i - 1].update_running(mean, var, n)
+
+    def bn_moments(self, i: int) -> tuple[jax.Array, jax.Array]:
+        """bn_i's running (mean, var) — the eval-mode dual tail normalizes
+        with the stored statistics."""
+        bn = (self.bn1, self.bn2, self.bn3)[i - 1]
+        return bn.ra_mean.value, bn.ra_var.value
+
     @property
     def folds_tail(self) -> bool:
         return self.fold_tail and self.use_lin and self.use_bn
@@ -268,6 +286,74 @@ class GNNBlock(fnn.Module):
         return self.finish([x1, x2, x3], mask)
 
 
+def _dual_tail(
+    e_blk: GNNBlock,
+    p_blk: GNNBlock,
+    i: int,
+    re: jax.Array,  # [B, N, F] embed conv_i RAW lin output
+    rp: jax.Array,  # [B, N, F] pool conv_i RAW lin output (same width)
+    mask: Optional[jax.Array],
+    *,
+    train: bool,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """l2norm -> mask -> act -> BN for an equal-width (embed, pool) conv
+    pair, computed on the feature-concatenated stream in SINGLE kernels.
+
+    The per-op cost of every [B, 5760, <=60]-wide kernel on this chip is
+    latency-, not bandwidth-, bound (benchmarks/op_floor.py: ~6-10 us
+    marginal vs the 33-76 us the step profile shows per op), and F=20 and
+    F=40 occupy the same one-vreg row — so running the two streams' tails
+    as one kernel each halves the stage's small-op tail at unchanged
+    per-op cost. Math is identical to the solo ``conv_step`` chains:
+    the row l2-norms reduce over each stream's own F channels
+    ([B,N,2,F] reshape) and BN statistics are per-channel, so channel
+    concatenation does not mix the streams. Returns
+    ``(cat, e_half, p_half)`` — ``cat`` (the post-BN concatenated stream)
+    feeds the next layer's shared ``adj.matvec`` directly, skipping the
+    re-concat the split path needed.
+    """
+    f = re.shape[-1]
+    dt = re.dtype
+    cat = jnp.concatenate([re, rp], axis=-1)
+    b, n_nodes, _ = cat.shape
+    # F.normalize(p=2, dim=-1) per stream, sums-of-squares in f32
+    # (SAGEConv's precision rule)
+    h4 = cat.astype(jnp.float32).reshape(b, n_nodes, 2, f)
+    norm = jnp.linalg.norm(h4, axis=-1, keepdims=True)
+    h = (h4 / jnp.maximum(norm, 1e-12)).reshape(b, n_nodes, 2 * f)
+    h = h.astype(dt)
+    if mask is not None:
+        h = h * mask[..., None].astype(dt)
+    h = activation(e_blk.act)(h)
+    # dual BN: one moments pass over the concatenated channels
+    # (TorchBatchNorm.moments math, nn/layers.py)
+    se, be, eps = e_blk.bn_affine(i)
+    sp, bp, _ = p_blk.bn_affine(i)
+    scale = jnp.concatenate([se, sp])
+    bias = jnp.concatenate([be, bp])
+    if train:
+        xf = h.astype(jnp.float32)
+        if e_blk.masked_bn and mask is not None:
+            m = jnp.broadcast_to(mask.astype(jnp.float32)[..., None], h.shape)
+            n = jnp.maximum(jnp.sum(m) / (2 * f), 1.0)
+            mean = jnp.sum(xf * m, axis=(0, 1)) / n
+            var = jnp.sum(jnp.square(xf - mean) * m, axis=(0, 1)) / n
+        else:
+            n = jnp.asarray(b * n_nodes, jnp.float32)
+            mean = jnp.mean(xf, axis=(0, 1))
+            var = jnp.mean(jnp.square(xf - mean), axis=(0, 1))
+        e_blk.bn_push(i, mean[:f], var[:f], n)
+        p_blk.bn_push(i, mean[f:], var[f:], n)
+    else:
+        me, ve = e_blk.bn_moments(i)
+        mp, vp = p_blk.bn_moments(i)
+        mean = jnp.concatenate([me, mp])
+        var = jnp.concatenate([ve, vp])
+    inv = jax.lax.rsqrt(var + eps) * scale
+    out = ((h - mean) * inv + bias).astype(dt)
+    return out, out[..., :f], out[..., f:]
+
+
 def paired_blocks(
     embed_blk: GNNBlock,
     pool_blk: GNNBlock,
@@ -310,26 +396,79 @@ def paired_blocks(
             pool_out = pool_blk(x, adj, mask, train=train)
         return embed_blk(x, adj, mask, train=train), pool_out
     fold_p = pool_blk.folds_tail
+    # dual-stream tails: layers whose two streams share width, activation
+    # and BN settings run their l2norm/mask/act/BN chains as single
+    # concatenated-stream kernels (_dual_tail) — the [*, <=60]-wide tail
+    # ops are latency-bound, so halving their count halves their time
+    can_dual = (
+        embed_blk.gcn_name == "SAGE"
+        and pool_blk.gcn_name == "SAGE"
+        and embed_blk.use_bn
+        and pool_blk.use_bn
+        and embed_blk.act == pool_blk.act
+        and embed_blk.masked_bn == pool_blk.masked_bn
+        and embed_blk.hidden_dim == pool_blk.hidden_dim
+    )
     agg1 = adj.matvec(x)
-    e = embed_blk.conv_step(1, x, adj, mask, train=train, agg=agg1)
-    p = pool_blk.conv_step(1, x, adj, mask, train=train, agg=agg1)
-    e_outs, p_outs = [e], [p]
-    for i in (2, 3):
-        he = e_outs[-1]
-        hp = p_outs[-1]
-        cat = jnp.concatenate([he, hp], axis=-1)
+    if can_dual:
+        r1e = embed_blk.conv_step(
+            1, x, adj, mask, train=train, agg=agg1, raw=True
+        )
+        r1p = pool_blk.conv_step(
+            1, x, adj, mask, train=train, agg=agg1, raw=True
+        )
+        cat, e1, p1 = _dual_tail(
+            embed_blk, pool_blk, 1, r1e, r1p, mask, train=train
+        )
+        e_outs, p_outs = [e1], [p1]
+        f = embed_blk.hidden_dim
         agg = adj.matvec(cat)
-        agg_e, agg_p = jnp.split(agg, [he.shape[-1]], axis=-1)
+        agg_e, agg_p = jnp.split(agg, [f], axis=-1)
+        r2e = embed_blk.conv_step(
+            2, e_outs[-1], adj, mask, train=train, agg=agg_e, raw=True
+        )
+        r2p = pool_blk.conv_step(
+            2, p_outs[-1], adj, mask, train=train, agg=agg_p, raw=True
+        )
+        cat, e2, p2 = _dual_tail(
+            embed_blk, pool_blk, 2, r2e, r2p, mask, train=train
+        )
+        e_outs.append(e2)
+        p_outs.append(p2)
+        # layer 3: output widths differ (embedding_dim vs assign dim) and
+        # the pool stream usually folds into the Pallas assign head — the
+        # streams run their own tails
+        agg = adj.matvec(cat)
+        agg_e, agg_p = jnp.split(agg, [f], axis=-1)
         e_outs.append(
-            embed_blk.conv_step(i, he, adj, mask, train=train, agg=agg_e)
+            embed_blk.conv_step(3, e2, adj, mask, train=train, agg=agg_e)
         )
         p_outs.append(
             pool_blk.conv_step(
-                i, hp, adj, mask, train=train, agg=agg_p,
-                apply_bn=(i != 3 or not fold_p),
-                raw=(i == 3 and pre),
+                3, p2, adj, mask, train=train, agg=agg_p,
+                apply_bn=not fold_p, raw=pre,
             )
         )
+    else:
+        e = embed_blk.conv_step(1, x, adj, mask, train=train, agg=agg1)
+        p = pool_blk.conv_step(1, x, adj, mask, train=train, agg=agg1)
+        e_outs, p_outs = [e], [p]
+        for i in (2, 3):
+            he = e_outs[-1]
+            hp = p_outs[-1]
+            cat = jnp.concatenate([he, hp], axis=-1)
+            agg = adj.matvec(cat)
+            agg_e, agg_p = jnp.split(agg, [he.shape[-1]], axis=-1)
+            e_outs.append(
+                embed_blk.conv_step(i, he, adj, mask, train=train, agg=agg_e)
+            )
+            p_outs.append(
+                pool_blk.conv_step(
+                    i, hp, adj, mask, train=train, agg=agg_p,
+                    apply_bn=(i != 3 or not fold_p),
+                    raw=(i == 3 and pre),
+                )
+            )
     if pre:
         pool_out = pool_blk.finish_folded_pre(*p_outs, mask, train=train)
     elif fold_p:

@@ -1,0 +1,138 @@
+"""Dual-stream paired tails (nn/blocks.py::_dual_tail) vs solo blocks.
+
+`paired_blocks` runs the (embed, pool) conv tails of layers 1-2 as single
+concatenated-stream kernels when widths/settings match. The math contract:
+bit-compatible with running the two GNNBlocks independently (same l2norm,
+mask, activation, BN statistics and running-stat updates).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from flax import linen as fnn
+
+from cgcnet_tpu.nn.adjacency import DenseAdj
+from cgcnet_tpu.nn.blocks import GNNBlock, paired_blocks
+
+
+def _mk_block(name, lin, gcn="SAGE", hidden=12, emb=12):
+    return GNNBlock(
+        hidden_dim=hidden,
+        embedding_dim=emb,
+        use_lin=lin,
+        gcn_name=gcn,
+        masked_bn=True,
+        name=name,
+    )
+
+
+class Paired(fnn.Module):
+    gcn: str = "SAGE"
+
+    @fnn.compact
+    def __call__(self, x, adj, mask, *, train=False):
+        e = _mk_block("e", lin=False, gcn=self.gcn)
+        p = _mk_block("p", lin=True, gcn=self.gcn)
+        return paired_blocks(e, p, x, adj, mask, train=train)
+
+
+class Solo(fnn.Module):
+    gcn: str = "SAGE"
+
+    @fnn.compact
+    def __call__(self, x, adj, mask, *, train=False):
+        e = _mk_block("e", lin=False, gcn=self.gcn)
+        p = _mk_block("p", lin=True, gcn=self.gcn)
+        return e(x, adj, mask, train=train), p(x, adj, mask, train=train)
+
+
+def _inputs(rng, b=2, n=40, feat=10):
+    x = rng.normal(size=(b, n, feat)).astype(np.float32)
+    a = (rng.uniform(size=(b, n, n)) < 0.15).astype(np.float32)
+    a = np.maximum(a, np.swapaxes(a, 1, 2))
+    mask = np.zeros((b, n), np.float32)
+    for bi, nn_ in enumerate(rng.integers(n // 2, n, size=b)):
+        mask[bi, :nn_] = 1.0
+    a = a * mask[:, :, None] * mask[:, None, :]
+    x = x * mask[..., None]
+    return (
+        jnp.asarray(x),
+        DenseAdj(jnp.asarray(a)),
+        jnp.asarray(mask),
+    )
+
+
+@pytest.mark.parametrize("train", [False, True])
+@pytest.mark.parametrize("use_mask", [True, False])
+def test_dual_matches_solo(rng, train, use_mask):
+    x, adj, mask = _inputs(rng)
+    if not use_mask:
+        mask = None
+    paired = Paired()
+    solo = Solo()
+    v = paired.init(jax.random.key(0), x, adj, mask)
+    kw = dict(mutable=["batch_stats"]) if train else {}
+    out_p = paired.apply(v, x, adj, mask, train=train, **kw)
+    out_s = solo.apply(v, x, adj, mask, train=train, **kw)
+    if train:
+        (e_p, p_p), bs_p = out_p
+        (e_s, p_s), bs_s = out_s
+    else:
+        e_p, p_p = out_p
+        e_s, p_s = out_s
+    np.testing.assert_allclose(
+        np.asarray(e_p), np.asarray(e_s), atol=3e-6, rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(p_p), np.asarray(p_s), atol=3e-6, rtol=1e-5
+    )
+    if train:
+        for (kp, lp), (ks, ls) in zip(
+            sorted(jax.tree_util.tree_leaves_with_path(bs_p), key=lambda t: str(t[0])),
+            sorted(jax.tree_util.tree_leaves_with_path(bs_s), key=lambda t: str(t[0])),
+        ):
+            assert str(kp) == str(ks)
+            np.testing.assert_allclose(
+                np.asarray(lp), np.asarray(ls), atol=3e-6, rtol=1e-5,
+                err_msg=str(kp),
+            )
+
+
+def test_dual_grads_match_solo(rng):
+    x, adj, mask = _inputs(rng)
+    paired = Paired()
+    solo = Solo()
+    v = paired.init(jax.random.key(0), x, adj, mask)
+
+    def loss(params, model):
+        (e, p), _ = model.apply(
+            {**v, "params": params}, x, adj, mask, train=True,
+            mutable=["batch_stats"],
+        )
+        return jnp.sum(e.astype(jnp.float32) ** 2) + jnp.sum(
+            p.astype(jnp.float32) ** 2
+        )
+
+    g_p = jax.grad(loss)(v["params"], paired)
+    g_s = jax.grad(loss)(v["params"], solo)
+    for (kp, lp), (ks, ls) in zip(
+        sorted(jax.tree_util.tree_leaves_with_path(g_p), key=lambda t: str(t[0])),
+        sorted(jax.tree_util.tree_leaves_with_path(g_s), key=lambda t: str(t[0])),
+    ):
+        assert str(kp) == str(ks)
+        np.testing.assert_allclose(
+            np.asarray(lp), np.asarray(ls), atol=1e-4, rtol=1e-4,
+            err_msg=str(kp),
+        )
+
+
+def test_gin_falls_back(rng):
+    """GIN pairs can't dual-fuse — the fallback path must still run."""
+    x, adj, mask = _inputs(rng)
+    paired = Paired(gcn="GIN")
+    v = paired.init(jax.random.key(0), x, adj, mask)
+    e, p = paired.apply(v, x, adj, mask)
+    assert np.isfinite(np.asarray(e)).all()
+    assert np.isfinite(np.asarray(p)).all()
