@@ -91,11 +91,16 @@ class ModelConfig:
 
     @property
     def stage_input_dims(self) -> tuple[int, int, int]:
-        """Input feature dim at each of the 3 stages (model/network.py:150-153)."""
-        if self.concat and not self.jk:
-            inner = self.hidden_dim * 2 + self.embedding_dim
+        """Input feature dim at each of the 3 stages (model/network.py:150-153).
+
+        Matches what nn/model.py actually feeds each stage: the pooled
+        embedding of the previous stage — DenseJK's [B, N, hidden] when jk
+        is on, else the block's 3-layer concat (GNNBlock.finish always
+        concatenates, like the reference's canonical concat=1)."""
+        if self.jk:
+            inner = self.hidden_dim
         else:
-            inner = self.embedding_dim
+            inner = self.hidden_dim * 2 + self.embedding_dim
         return self.input_dim, inner, inner
 
     @property

@@ -43,6 +43,10 @@ class GNNBlock(fnn.Module):
     act: str = "relu"
     masked_bn: bool = True
     gat_heads: int = 1
+    # Static input width (SAGE only). Declares every conv lin's fan-in up
+    # front so the paired path can merge the two streams' lins into one
+    # matmul (_dual_lin). None keeps the lazy fan-in path.
+    input_dim: Optional[int] = None
     # Fold bn3's affine into the lin kernel (mathematically identical up to
     # fp reassociation) — the 1140-wide assign head never materializes the
     # BN output or the [.., 2h+C] concat. Only takes effect with
@@ -52,18 +56,23 @@ class GNNBlock(fnn.Module):
     def setup(self):
         # setup(): names come from the attribute names (param-tree layout
         # matches the reference module names for checkpoint transplant)
-        def conv(features):
+        def conv(idx, features):
             if self.gcn_name == "SAGE":
-                return SAGEConv(features, use_bias=self.use_bias)
+                fin = (self.input_dim, self.hidden_dim, self.hidden_dim)[
+                    idx - 1
+                ]
+                return SAGEConv(
+                    features, use_bias=self.use_bias, in_features=fin
+                )
             if self.gcn_name == "GAT":
                 return GATConv(
                     features, heads=self.gat_heads, use_bias=self.use_bias
                 )
             return GINConv(features, act=self.act)
 
-        self.gcn1 = conv(self.hidden_dim)
-        self.gcn2 = conv(self.hidden_dim)
-        self.gcn3 = conv(self.embedding_dim)
+        self.gcn1 = conv(1, self.hidden_dim)
+        self.gcn2 = conv(2, self.hidden_dim)
+        self.gcn3 = conv(3, self.embedding_dim)
         if self.use_bn:
             self.bn1 = TorchBatchNorm(self.hidden_dim)
             self.bn2 = TorchBatchNorm(self.hidden_dim)
@@ -122,6 +131,11 @@ class GNNBlock(fnn.Module):
         with the stored statistics."""
         bn = (self.bn1, self.bn2, self.bn3)[i - 1]
         return bn.ra_mean.value, bn.ra_var.value
+
+    def lin_params(self, i: int):
+        """conv_i's (kernel, bias) — read by the merged dual-stream lin
+        (SAGE with a static ``input_dim`` only)."""
+        return (self.gcn1, self.gcn2, self.gcn3)[i - 1].lin_params()
 
     @property
     def folds_tail(self) -> bool:
@@ -286,12 +300,55 @@ class GNNBlock(fnn.Module):
         return self.finish([x1, x2, x3], mask)
 
 
+def _dual_lin(
+    e_blk: GNNBlock,
+    p_blk: GNNBlock,
+    i: int,
+    agg: jax.Array,      # [B, N, in] shared (layer 1) or [B, N, 2F] concat
+    denom: jax.Array,    # [B, N, 1] clamped rowsum (SAGEConv's divisor)
+    *,
+    shared_input: bool,
+) -> jax.Array:
+    """Both streams' conv_i lins as ONE matmul on the concatenated stream.
+
+    Layer 1 reads the same aggregation, so the kernels concatenate along
+    the output axis ([in, 2F]). Layers 2+ read the concatenated
+    aggregation, so the kernels form a block-diagonal [2F, 2F] — the zero
+    off-blocks contribute exact +0.0 terms to each dot product, leaving
+    every output bit-identical to the two separate matmuls while halving
+    the matmul count forward AND backward (dx and dK are one op each;
+    the [*, <=40]-wide matmuls here are latency-, not FLOP-, bound).
+    Returns the concatenated RAW lin outputs (pre-normalize, pre-mask —
+    ``_dual_tail`` consumes them).
+    """
+    ke, be = e_blk.lin_params(i)
+    kp, bp = p_blk.lin_params(i)
+    h = agg / denom
+    if shared_input:
+        k = jnp.concatenate([ke, kp], axis=1)
+    else:
+        z_ep = jnp.zeros((ke.shape[0], kp.shape[1]), ke.dtype)
+        z_pe = jnp.zeros((kp.shape[0], ke.shape[1]), kp.dtype)
+        k = jnp.concatenate(
+            [
+                jnp.concatenate([ke, z_ep], axis=1),
+                jnp.concatenate([z_pe, kp], axis=1),
+            ],
+            axis=0,
+        )
+    out = h @ k.astype(h.dtype)
+    if be is not None or bp is not None:
+        be = be if be is not None else jnp.zeros((ke.shape[1],), jnp.float32)
+        bp = bp if bp is not None else jnp.zeros((kp.shape[1],), jnp.float32)
+        out = out + jnp.concatenate([be, bp]).astype(out.dtype)
+    return out
+
+
 def _dual_tail(
     e_blk: GNNBlock,
     p_blk: GNNBlock,
     i: int,
-    re: jax.Array,  # [B, N, F] embed conv_i RAW lin output
-    rp: jax.Array,  # [B, N, F] pool conv_i RAW lin output (same width)
+    cat: jax.Array,  # [B, N, 2F] concatenated RAW lin outputs (e ++ p)
     mask: Optional[jax.Array],
     *,
     train: bool,
@@ -312,9 +369,8 @@ def _dual_tail(
     feeds the next layer's shared ``adj.matvec`` directly, skipping the
     re-concat the split path needed.
     """
-    f = re.shape[-1]
-    dt = re.dtype
-    cat = jnp.concatenate([re, rp], axis=-1)
+    f = cat.shape[-1] // 2
+    dt = cat.dtype
     b, n_nodes, _ = cat.shape
     # F.normalize(p=2, dim=-1) per stream, sums-of-squares in f32
     # (SAGEConv's precision rule)
@@ -409,29 +465,56 @@ def paired_blocks(
         and embed_blk.masked_bn == pool_blk.masked_bn
         and embed_blk.hidden_dim == pool_blk.hidden_dim
     )
+    # merged lins additionally need the static fan-in declared (and right)
+    can_merge = (
+        can_dual
+        and embed_blk.input_dim == x.shape[-1]
+        and pool_blk.input_dim == x.shape[-1]
+    )
     agg1 = adj.matvec(x)
     if can_dual:
-        r1e = embed_blk.conv_step(
-            1, x, adj, mask, train=train, agg=agg1, raw=True
-        )
-        r1p = pool_blk.conv_step(
-            1, x, adj, mask, train=train, agg=agg1, raw=True
-        )
+        denom = jnp.clip(adj.rowsum(), min=1.0)[..., None].astype(agg1.dtype)
+        if can_merge:
+            r1 = _dual_lin(
+                embed_blk, pool_blk, 1, agg1, denom, shared_input=True
+            )
+        else:
+            r1 = jnp.concatenate(
+                [
+                    embed_blk.conv_step(
+                        1, x, adj, mask, train=train, agg=agg1, raw=True
+                    ),
+                    pool_blk.conv_step(
+                        1, x, adj, mask, train=train, agg=agg1, raw=True
+                    ),
+                ],
+                axis=-1,
+            )
         cat, e1, p1 = _dual_tail(
-            embed_blk, pool_blk, 1, r1e, r1p, mask, train=train
+            embed_blk, pool_blk, 1, r1, mask, train=train
         )
         e_outs, p_outs = [e1], [p1]
         f = embed_blk.hidden_dim
         agg = adj.matvec(cat)
-        agg_e, agg_p = jnp.split(agg, [f], axis=-1)
-        r2e = embed_blk.conv_step(
-            2, e_outs[-1], adj, mask, train=train, agg=agg_e, raw=True
-        )
-        r2p = pool_blk.conv_step(
-            2, p_outs[-1], adj, mask, train=train, agg=agg_p, raw=True
-        )
+        if can_merge:
+            r2 = _dual_lin(
+                embed_blk, pool_blk, 2, agg, denom, shared_input=False
+            )
+        else:
+            agg_e, agg_p = jnp.split(agg, [f], axis=-1)
+            r2 = jnp.concatenate(
+                [
+                    embed_blk.conv_step(
+                        2, e1, adj, mask, train=train, agg=agg_e, raw=True
+                    ),
+                    pool_blk.conv_step(
+                        2, p1, adj, mask, train=train, agg=agg_p, raw=True
+                    ),
+                ],
+                axis=-1,
+            )
         cat, e2, p2 = _dual_tail(
-            embed_blk, pool_blk, 2, r2e, r2p, mask, train=train
+            embed_blk, pool_blk, 2, r2, mask, train=train
         )
         e_outs.append(e2)
         p_outs.append(p2)

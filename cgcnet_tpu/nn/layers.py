@@ -68,11 +68,32 @@ class TorchLinear(fnn.Module):
 
 
 class SAGEConv(fnn.Module):
-    """Dense/ELL GraphSAGE convolution, PyG-1.2.1 ``DenseSAGEConv`` semantics."""
+    """Dense/ELL GraphSAGE convolution, PyG-1.2.1 ``DenseSAGEConv`` semantics.
+
+    ``in_features`` (optional, static) declares the lin's fan-in up front so
+    the kernel/bias are readable via ``lin_params()`` without a call — the
+    dual-stream paired path merges two convs' lins into one matmul
+    (nn/blocks.py::_dual_lin). Param tree ("lin/kernel", "lin/bias"), init
+    distribution and RNG folding are identical either way.
+    """
 
     features: int
     use_bias: bool = True
     normalize: bool = True
+    in_features: Optional[int] = None
+
+    def setup(self):
+        if self.in_features is not None:
+            self.lin = TorchLinearStatic(
+                in_features=self.in_features,
+                features=self.features,
+                use_bias=self.use_bias,
+            )
+
+    def lin_params(self) -> tuple[jax.Array, Optional[jax.Array]]:
+        """(kernel [in, out], bias [out] or None) — requires in_features."""
+        assert self.in_features is not None, "lin_params needs in_features"
+        return self.lin.kernel, self.lin.bias_p
 
     @fnn.compact
     def __call__(
@@ -87,7 +108,14 @@ class SAGEConv(fnn.Module):
         out = adj.matvec(x) if agg is None else agg
         denom = jnp.clip(adj.rowsum(), min=1.0)[..., None].astype(out.dtype)
         out = out / denom
-        out = TorchLinear(self.features, use_bias=self.use_bias, name="lin")(out)
+        if self.in_features is not None:
+            assert out.shape[-1] == self.in_features, (
+                out.shape, self.in_features)
+            out = self.lin(out)
+        else:
+            out = TorchLinear(
+                self.features, use_bias=self.use_bias, name="lin"
+            )(out)
         if pre_normalize:
             # raw lin output for an externally fused normalize+relu epilogue
             # (ops/pallas/assign_head.py) — caller owns masking too

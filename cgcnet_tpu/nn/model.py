@@ -145,6 +145,9 @@ class CGCNet(fnn.Module):
 
     def _block(self, name: str, embedding: int, lin: bool) -> GNNBlock:
         c = self.cfg
+        # static conv-1 fan-in per stage — lets the paired path merge the
+        # two streams' lins into one matmul (blocks.py::_dual_lin)
+        stage_in = c.stage_input_dims[int(name[-1]) - 1]
         return GNNBlock(
             hidden_dim=c.hidden_dim if "embed" in name else c.assign_hidden_dim,
             embedding_dim=embedding,
@@ -156,6 +159,7 @@ class CGCNet(fnn.Module):
             masked_bn=c.masked_bn,
             gat_heads=c.gat_heads,
             fold_tail=c.fold_assign_tail,
+            input_dim=stage_in,
             name=name,
         )
 

@@ -17,34 +17,37 @@ from cgcnet_tpu.nn.adjacency import DenseAdj
 from cgcnet_tpu.nn.blocks import GNNBlock, paired_blocks
 
 
-def _mk_block(name, lin, gcn="SAGE", hidden=12, emb=12):
+def _mk_block(name, lin, gcn="SAGE", hidden=12, emb=12, input_dim=None):
     return GNNBlock(
         hidden_dim=hidden,
         embedding_dim=emb,
         use_lin=lin,
         gcn_name=gcn,
         masked_bn=True,
+        input_dim=input_dim,
         name=name,
     )
 
 
 class Paired(fnn.Module):
     gcn: str = "SAGE"
+    input_dim: int | None = None  # set -> exercises the merged-lin path
 
     @fnn.compact
     def __call__(self, x, adj, mask, *, train=False):
-        e = _mk_block("e", lin=False, gcn=self.gcn)
-        p = _mk_block("p", lin=True, gcn=self.gcn)
+        e = _mk_block("e", lin=False, gcn=self.gcn, input_dim=self.input_dim)
+        p = _mk_block("p", lin=True, gcn=self.gcn, input_dim=self.input_dim)
         return paired_blocks(e, p, x, adj, mask, train=train)
 
 
 class Solo(fnn.Module):
     gcn: str = "SAGE"
+    input_dim: int | None = None
 
     @fnn.compact
     def __call__(self, x, adj, mask, *, train=False):
-        e = _mk_block("e", lin=False, gcn=self.gcn)
-        p = _mk_block("p", lin=True, gcn=self.gcn)
+        e = _mk_block("e", lin=False, gcn=self.gcn, input_dim=self.input_dim)
+        p = _mk_block("p", lin=True, gcn=self.gcn, input_dim=self.input_dim)
         return e(x, adj, mask, train=train), p(x, adj, mask, train=train)
 
 
@@ -64,14 +67,16 @@ def _inputs(rng, b=2, n=40, feat=10):
     )
 
 
+@pytest.mark.parametrize("merged", [False, True])
 @pytest.mark.parametrize("train", [False, True])
 @pytest.mark.parametrize("use_mask", [True, False])
-def test_dual_matches_solo(rng, train, use_mask):
+def test_dual_matches_solo(rng, train, use_mask, merged):
     x, adj, mask = _inputs(rng)
     if not use_mask:
         mask = None
-    paired = Paired()
-    solo = Solo()
+    input_dim = x.shape[-1] if merged else None
+    paired = Paired(input_dim=input_dim)
+    solo = Solo(input_dim=input_dim)
     v = paired.init(jax.random.key(0), x, adj, mask)
     kw = dict(mutable=["batch_stats"]) if train else {}
     out_p = paired.apply(v, x, adj, mask, train=train, **kw)
@@ -100,10 +105,12 @@ def test_dual_matches_solo(rng, train, use_mask):
             )
 
 
-def test_dual_grads_match_solo(rng):
+@pytest.mark.parametrize("merged", [False, True])
+def test_dual_grads_match_solo(rng, merged):
     x, adj, mask = _inputs(rng)
-    paired = Paired()
-    solo = Solo()
+    input_dim = x.shape[-1] if merged else None
+    paired = Paired(input_dim=input_dim)
+    solo = Solo(input_dim=input_dim)
     v = paired.init(jax.random.key(0), x, adj, mask)
 
     def loss(params, model):
