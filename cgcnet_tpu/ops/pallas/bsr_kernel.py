@@ -387,7 +387,13 @@ def bsr_matmul(
     itemsize = jnp.dtype(x.dtype).itemsize
     flops = 2 * b * r * m * TILE * TILE * f
     vals_bytes = b * r * m * TILE * TILE * jnp.dtype(vals.dtype).itemsize
-    if (n + nr) * f * itemsize <= 2 * _RESIDENT_LIMIT:
+    # VMEM residency must be judged at the LANE-PADDED width: an [*, F<128]
+    # buffer occupies ceil(F/128)*128 lanes per row in VMEM, so at slide
+    # scale a bf16 [100k, 18] x-operand is 25.6 MB, not 3.6 MB (the round-3
+    # slide step OOM'd scoped vmem exactly this way — the f32 variant only
+    # survived because its raw byte count happened to overflow this gate)
+    f_pad = -(-f // 128) * 128
+    if (n + nr) * f_pad * itemsize <= 2 * _RESIDENT_LIMIT:
         # x (and out) stay VMEM-resident; vals double-buffered from HBM in
         # chunks of G row tiles (largest divisor of R within ~2 MB)
         vsz = jnp.dtype(vals.dtype).itemsize
@@ -471,7 +477,8 @@ def bsr_gather_sum(
     b, n, k = nbr.shape
     f = x.shape[-1]
     itemsize = jnp.dtype(x.dtype).itemsize
-    if n * f * itemsize <= _RESIDENT_LIMIT:
+    # lane-padded width, like bsr_matmul's residency gate above
+    if n * (-(-f // 128) * 128) * itemsize <= _RESIDENT_LIMIT:
         return _bsr_resident_call(nbr, w, blk_cols, blk_mask, x)
     r = n // TILE
     m = blk_cols.shape[-1]

@@ -248,8 +248,15 @@ def build_bsr_tables(
 # ---------------------------------------------------------------------------
 
 def _halo_exchange(x_local, req_idx, req_mask, axis: str):
-    """x_local f32[Ns, F]; req_idx i32[D, P]; -> halo rows f32[D*P, F]."""
-    send = x_local[req_idx] * req_mask[..., None]          # [D, P, F]
+    """x_local [Ns, F]; req_idx i32[D, P]; -> halo rows [D*P, F].
+
+    The mask multiply MUST happen at x_local's dtype: req_mask is f32, and
+    an unguarded ``bf16 * f32`` promotes the halo rows (and, through the
+    concat, EVERY downstream stage-1 aggregation incl. the [Ns, 1140] A@S)
+    to f32 — the round-3 slide profile showed the whole sharded forward
+    silently running f32 because of exactly that (2x the matvec bytes on
+    chip and 2x the all_to_all bytes on ICI)."""
+    send = x_local[req_idx] * req_mask[..., None].astype(x_local.dtype)
     recv = jax.lax.all_to_all(
         send, axis, split_axis=0, concat_axis=0, tiled=True
     )                                                      # [D, P, F]

@@ -229,11 +229,103 @@ def _gat_conv(gp, h, agg, valid, cfg: ModelConfig):
     return out * valid[:, None]
 
 
+def _paired_layers12(
+    params, stats, name_e, name_p, x, agg, valid, cfg: ModelConfig, axis,
+    train, stats_out: dict | None, replicated: bool = False,
+):
+    """Layers 1-2 of an (embed, pool) SAGE block pair over ONE shared
+    aggregation stream — the functional twin of nn/blocks.paired_blocks'
+    dual path. Each layer runs one matvec (A @ [h_e | h_p]), one merged
+    lin matmul (shared-input kernel concat at layer 1, block-diagonal at
+    layer 2 — exact zeros, bit-identical columns) and one
+    l2norm/valid/act/BN chain over the concatenated channels (per-channel
+    BN statistics and per-stream row norms don't mix across the concat).
+    Halves both the sparse-aggregation launches and the latency-bound
+    [N, <=40] tail kernels vs running the blocks independently.
+
+    Returns ([e1, e2], [p1, p2], agg3_e, agg3_p) where agg3_* are the
+    slices of the shared A @ [e2 | p2] that the two conv3's consume
+    (pass to ``_stage1_block(..., pre12=..., pre_agg3=...)``).
+    Caller gates on SAGE + BN + equal hidden widths.
+    """
+    pe, pp = params[name_e], params[name_p]
+    act = _act(cfg.activation)
+    f = pe["gcn1"]["lin"]["kernel"].shape[1]
+
+    def dual_lin(i, ah, shared):
+        dt = ah.dtype
+        denom = jnp.clip(agg.rowsum(), min=1.0)[:, None].astype(dt)
+        le, lp = pe[f"gcn{i}"]["lin"], pp[f"gcn{i}"]["lin"]
+        ke, kp = le["kernel"], lp["kernel"]
+        if shared:
+            k = jnp.concatenate([ke, kp], axis=1)
+        else:
+            z_ep = jnp.zeros((ke.shape[0], kp.shape[1]), ke.dtype)
+            z_pe = jnp.zeros((kp.shape[0], ke.shape[1]), kp.dtype)
+            k = jnp.concatenate(
+                [jnp.concatenate([ke, z_ep], 1),
+                 jnp.concatenate([z_pe, kp], 1)], 0,
+            )
+        out = (ah / denom) @ k.astype(dt)
+        if "bias" in le or "bias" in lp:
+            be = le.get("bias", jnp.zeros((f,), jnp.float32))
+            bp = lp.get("bias", jnp.zeros((f,), jnp.float32))
+            out = out + jnp.concatenate([be, bp]).astype(dt)
+        return out
+
+    def dual_tail(i, cat):
+        nrow = cat.shape[0]
+        h4 = cat.astype(jnp.float32).reshape(nrow, 2, f)
+        norm = jnp.linalg.norm(h4, axis=-1, keepdims=True)
+        h = (h4 / jnp.maximum(norm, 1e-12)).reshape(nrow, 2 * f)
+        h = h.astype(cat.dtype) * valid[:, None].astype(cat.dtype)
+        h = act(h)
+        st_e = (stats or {}).get(name_e, {}).get(f"bn{i}")
+        st_p = (stats or {}).get(name_p, {}).get(f"bn{i}")
+        st = None
+        if st_e is not None and st_p is not None:
+            st = {
+                key: jnp.concatenate([st_e[key], st_p[key]])
+                for key in ("mean", "var")
+            }
+        h32 = h.astype(jnp.float32)
+        mean, var, upd = _bn_moments(st, h32, valid, axis, train, replicated)
+        scale = jnp.concatenate([pe[f"bn{i}"]["scale"], pp[f"bn{i}"]["scale"]])
+        bias = jnp.concatenate([pe[f"bn{i}"]["bias"], pp[f"bn{i}"]["bias"]])
+        out = (
+            (h32 - mean) * jax.lax.rsqrt(var + 1e-5) * scale + bias
+        ).astype(h.dtype)
+        if upd is not None and stats_out is not None:
+            stats_out.setdefault(name_e, {})[f"bn{i}"] = {
+                key: v[:f] for key, v in upd.items()
+            }
+            stats_out.setdefault(name_p, {})[f"bn{i}"] = {
+                key: v[f:] for key, v in upd.items()
+            }
+        return out
+
+    cat1 = dual_tail(1, dual_lin(1, agg(x), shared=True))
+    cat2 = dual_tail(2, dual_lin(2, agg(cat1), shared=False))
+    agg3 = agg(cat2)
+    return (
+        [cat1[:, :f], cat2[:, :f]],
+        [cat1[:, f:], cat2[:, f:]],
+        agg3[:, :f],
+        agg3[:, f:],
+    )
+
+
 def _stage1_block(
     params, stats, name, x, agg, valid, cfg: ModelConfig, axis, train,
     lin: bool, stats_out: dict | None = None, replicated: bool = False,
+    pre12=None, pre_agg3=None,
 ):
-    """GNN block over sharded nodes; ``agg`` maps h -> A @ h."""
+    """GNN block over sharded nodes; ``agg`` maps h -> A @ h.
+
+    ``pre12``: layer-1/2 outputs already computed by the paired dual-stream
+    path (``_paired_layers12``) — the loop then runs only conv3, consuming
+    ``pre_agg3`` (the shared A @ [h2_e | h2_p] slice) instead of its own
+    aggregation. The conv3 tail (fold3 / concat / lin) is unchanged."""
     p, s = params[name], (stats or {}).get(name, {})
     act = _act(cfg.activation)
     # fold bn3's affine into the lin kernel for pooling blocks (same algebra
@@ -243,11 +335,15 @@ def _stage1_block(
     outs = []
     h = x
     for i in (1, 2, 3):
+        if pre12 is not None and i <= 2:
+            h = pre12[i - 1]
+            outs.append(h)
+            continue
         gp = p[f"gcn{i}"]
         if cfg.gcn_name == "GAT":
             out = _gat_conv(gp, h, agg, valid, cfg)
         elif cfg.gcn_name == "SAGE":
-            ah = agg(h)
+            ah = pre_agg3 if (i == 3 and pre_agg3 is not None) else agg(h)
             denom = jnp.clip(agg.rowsum(), min=1.0)[:, None].astype(h.dtype)
             out = _linear(gp["lin"], ah / denom)
             # L2-normalize in f32 (precision-policy island, nn/layers.py)
@@ -255,7 +351,7 @@ def _stage1_block(
             norm = jnp.linalg.norm(out32, axis=-1, keepdims=True)
             out = (out32 / jnp.maximum(norm, 1e-12)).astype(h.dtype)
         else:
-            ah = agg(h)
+            ah = pre_agg3 if (i == 3 and pre_agg3 is not None) else agg(h)
             out = _linear(gp["mlp_0"], ah)
             out = act(out)
             out = _linear(gp["mlp_1"], out)
@@ -324,9 +420,18 @@ def _jk(p, h, channels: int, layers: int = 3):
             h_new = jax.nn.sigmoid(o) * jnp.tanh(c_new)
             return (h_new, c_new), h_new
 
-        carry0 = (jnp.zeros((n, hdim), x.dtype), jnp.zeros((n, hdim), x.dtype))
-        _, ys = jax.lax.scan(cell, carry0, jnp.swapaxes(x_seq, 0, 1))
-        return jnp.swapaxes(ys, 0, 1)
+        # unroll over the static length-3 layer axis — a lax.scan here
+        # compiles to a device while-loop whose per-iteration sync floor
+        # (~0.5 ms/scan at slide scale, r3 profile) dwarfs the 3 tiny
+        # matmuls; same decision as nn/jk.py's TorchLSTM unroll (round 2)
+        carry = (
+            jnp.zeros((n, hdim), x.dtype), jnp.zeros((n, hdim), x.dtype)
+        )
+        ys = []
+        for t in range(x_seq.shape[1]):
+            carry, y = cell(carry, x_seq[:, t])
+            ys.append(y)
+        return jnp.stack(ys, 1)
 
     fwd = run(x, "_l0")
     bwd = run(x[:, ::-1], "_l0_reverse")[:, ::-1]
@@ -502,10 +607,31 @@ def mega_forward(
         stats_out: dict = {}
 
         # ---- stage 1 (sharded) ----
-        embed = _stage1_block(
-            params, stats, "embed1", x, adj, valid, cfg, axis, train,
-            lin=False, stats_out=stats_out,
+        # (embed, pool) pairs share one aggregation stream with dual-fused
+        # lins and tails where widths/settings allow (_paired_layers12);
+        # conv3's split off (embed solo, pool into the possibly-remat'd
+        # assign segment)
+        paired = (
+            cfg.gcn_name == "SAGE"
+            and cfg.bn
+            and params["embed1"]["gcn1"]["lin"]["kernel"].shape[1]
+            == params["pool1"]["gcn1"]["lin"]["kernel"].shape[1]
         )
+        if paired:
+            e12, p12, agg3_e, agg3_p = _paired_layers12(
+                params, stats, "embed1", "pool1", x, adj, valid, cfg, axis,
+                train, stats_out,
+            )
+            embed = _stage1_block(
+                params, stats, "embed1", x, adj, valid, cfg, axis, train,
+                lin=False, stats_out=stats_out, pre12=e12, pre_agg3=agg3_e,
+            )
+        else:
+            p12 = agg3_p = None
+            embed = _stage1_block(
+                params, stats, "embed1", x, adj, valid, cfg, axis, train,
+                lin=False, stats_out=stats_out,
+            )
         if cfg.jk:
             embed = _jk(params["jk1"], embed, cfg.hidden_dim) * valid[:, None]
         # global masked max-readout: per-shard max, all_gather (differentiable,
@@ -513,13 +639,13 @@ def mega_forward(
         local_max = jnp.max(jnp.where(valid[:, None] > 0, embed, neg), 0)
         read1 = jnp.max(jax.lax.all_gather(local_max, axis), 0)
 
-        def pool1_segment(pool_params, pool_stats, px, pembed):
+        def pool1_segment(pool_params, pool_stats, px, pembed, p12, agg3_p):
             # stats flow OUT as explicit returns (jax.checkpoint purity)
             so: dict = {}
             assign = _stage1_block(
                 {"pool1": pool_params}, {"pool1": pool_stats}, "pool1",
                 px, adj, valid, cfg, axis, train,
-                lin=True, stats_out=so,
+                lin=True, stats_out=so, pre12=p12, pre_agg3=agg3_p,
             )
             # assignment softmax in f32 (nn/blocks.py:360 island), to dtype
             s = jax.nn.softmax(assign.astype(jnp.float32), -1).astype(
@@ -532,13 +658,18 @@ def mega_forward(
 
         if remat:
             # the [Ns, d1]-class tensors (assign logits, S, A@S) dominate
-            # slide-scale activation memory; recompute them in the backward
+            # slide-scale activation memory; recompute them in the backward.
+            # With pairing, conv1/2 live OUTSIDE the segment ([Ns, <=40]
+            # activations, negligible) so only the 1140-wide tail recomputes.
             pool1_segment = jax.checkpoint(pool1_segment)
         x_pool, adj_pool, pool1_stats = pool1_segment(
-            params["pool1"], (stats or {}).get("pool1", {}), x, embed
+            params["pool1"], (stats or {}).get("pool1", {}), x, embed,
+            p12, agg3_p,
         )
         if pool1_stats:
-            stats_out["pool1"] = pool1_stats
+            # merge, don't clobber: the paired path already recorded pool1's
+            # bn1/bn2 updates into stats_out
+            stats_out.setdefault("pool1", {}).update(pool1_stats)
 
         # ---- stages 2-3 (replicated) ----
         from cgcnet_tpu.ops.ell import renorm_dense
@@ -555,11 +686,12 @@ def mega_forward(
 
             return DenseAgg()
 
-        def dense_stage(name, jk_name, xx, aa):
+        def dense_stage(name, jk_name, xx, aa, pre12=None, pre_agg3=None):
             ones = jnp.ones(xx.shape[0], xx.dtype)
             emb = _stage1_block(
                 params, stats, name, xx, dense_agg(aa), ones, cfg, axis,
                 train, lin=False, stats_out=stats_out, replicated=True,
+                pre12=pre12, pre_agg3=pre_agg3,
             )
             if cfg.jk:
                 emb = _jk(params[jk_name], emb, cfg.hidden_dim)
@@ -567,13 +699,25 @@ def mega_forward(
 
         if cfg.norm_adj:
             adj_pool = renorm_dense(adj_pool[None], cfg.self_weight)[0]
-        embed2 = dense_stage("embed2", "jk2", x_pool, adj_pool)
-        read2 = jnp.max(embed2, 0)
         ones = jnp.ones(x_pool.shape[0], x_pool.dtype)
+        if paired:
+            # same pairing for the dense (embed2, pool2) pair
+            e12_2, p12_2, agg3_e2, agg3_p2 = _paired_layers12(
+                params, stats, "embed2", "pool2", x_pool,
+                dense_agg(adj_pool), ones, cfg, axis, train, stats_out,
+                replicated=True,
+            )
+        else:
+            e12_2 = p12_2 = agg3_e2 = agg3_p2 = None
+        embed2 = dense_stage(
+            "embed2", "jk2", x_pool, adj_pool, pre12=e12_2, pre_agg3=agg3_e2
+        )
+        read2 = jnp.max(embed2, 0)
 
         assign2 = _stage1_block(
             params, stats, "pool2", x_pool, dense_agg(adj_pool), ones, cfg,
             axis, train, lin=True, stats_out=stats_out, replicated=True,
+            pre12=p12_2, pre_agg3=agg3_p2,
         )
         s2 = jax.nn.softmax(assign2.astype(jnp.float32), -1).astype(dtype)
         x3 = s2.T @ embed2
