@@ -521,6 +521,103 @@ def _atf_bwd(eps, res, cts):
 assign_tail_train.defvjp(_atf_fwd, _atf_bwd)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10))
+def assign_tail_train_psum(
+    x12, p, k12, k3, lin_bias, bn_scale, bn_bias, mask, n, eps, axis
+):
+    """``assign_tail_train`` with cross-shard BN statistics: the one-pass
+    (sum, sumsq) from the stats kernel are psum'd over ``axis`` between the
+    two Pallas passes, so every shard folds the GLOBAL batch moments — the
+    mega path's SyncBatchNorm semantics (parallel/mega_model._bn_moments)
+    inside the fused tail. ``n`` must be the psum'd global row count.
+
+    The backward is ``_atf_bwd`` verbatim: the cotangent of a psum'd sum
+    w.r.t. each shard's local rows is the (replicated) global cotangent,
+    and every other residual is shard-local. Runs under shard_map.
+    """
+    ssum, ssq = _stats_call(p, mask)
+    ssum = jax.lax.psum(ssum, axis)
+    ssq = jax.lax.psum(ssq, axis)
+    k3f, const, mean, var = _tail_algebra(
+        ssum, ssq, k3, lin_bias, bn_scale, bn_bias, n, eps
+    )
+    s, s_t = _fwd_call_pre(x12, p, k12, k3f, const, mask)
+    return s, s_t, mean, var
+
+
+def _atfp_fwd(x12, p, k12, k3, lin_bias, bn_scale, bn_bias, mask, n, eps,
+              axis):
+    ssum, ssq = _stats_call(p, mask)
+    ssum = jax.lax.psum(ssum, axis)
+    ssq = jax.lax.psum(ssq, axis)
+    k3f, const, mean, var = _tail_algebra(
+        ssum, ssq, k3, lin_bias, bn_scale, bn_bias, n, eps
+    )
+    s, s_t = _fwd_call_pre(x12, p, k12, k3f, const, mask)
+    res = (x12, p, k12, k3f, s, mask, ssum, ssq, k3, lin_bias,
+           bn_scale, bn_bias, n)
+    return (s, s_t, mean, var), res
+
+
+def _atfp_bwd(eps, axis, res, cts):
+    """Backward under shard_map. Cotangent routing differs from _atf_bwd in
+    WHERE the cross-shard sums go:
+
+    - the sharded-row gradients (dp, and dh inside it) must see the GLOBAL
+      cotangents of the psum'd statistics — k3f/const were computed from
+      global sums and consumed by every shard's rows, so
+      d ssum = J^T psum(d k3f_local), psum'd HERE;
+    - the replicated-parameter gradients (dk3, dlin_bias, dbn_*) must stay
+      LOCAL per-shard contributions — shard_map's transpose psums replicated
+      operands' cotangents itself, so psum'ing here would double-count.
+
+    mean/var cotangents are assumed zero (running stats are not
+    differentiated — same contract as assign_tail_train's docstring).
+    """
+    (x12, p, k12, k3f, s, mask, ssum, ssq, k3, lin_bias,
+     bn_scale, bn_bias, n) = res
+    ds, ds_t, dmean, dvar = cts
+    g = ds + jnp.swapaxes(ds_t, 1, 2)
+    gf = g.astype(jnp.float32)
+    sf = s.astype(jnp.float32)
+    dl32 = sf * (gf - jnp.sum(gf * sf, axis=-1, keepdims=True))
+    dl = dl32.astype(s.dtype)
+    dx12 = dl @ k12.astype(dl.dtype).T
+    dk12 = jnp.einsum(
+        "bnf,bnc->fc", x12, dl, preferred_element_type=jnp.float32
+    ).astype(k12.dtype)
+    dconst = jnp.sum(dl32, axis=(0, 1))
+    dh = dl @ k3f.astype(dl.dtype).T
+    pf = p.astype(jnp.float32)
+    _, h32 = _rnorm_h(pf)
+    h = (h32 * mask[..., None].astype(jnp.float32)).astype(p.dtype)
+    dk3f = jnp.einsum(
+        "bnc,bnd->cd", h, dl, preferred_element_type=jnp.float32
+    )
+    _, alg_vjp = jax.vjp(
+        lambda su, sq, kk, lb, bs, bb: _tail_algebra(
+            su, sq, kk, lb, bs, bb, n, eps
+        ),
+        ssum, ssq, k3, lin_bias, bn_scale, bn_bias,
+    )
+    # sharded-row path: global stats cotangents
+    dk3f_g = jax.lax.psum(dk3f, axis)
+    dconst_g = jax.lax.psum(dconst, axis)
+    dssum_g, dssq_g, _, _, _, _ = alg_vjp((dk3f_g, dconst_g, dmean, dvar))
+    dp = _bwd_call(p, dh, dssum_g, dssq_g, mask)
+    # replicated-parameter path: local contributions only
+    _, _, dk3, dlin_bias, dbn_scale, dbn_bias = alg_vjp(
+        (dk3f, dconst, jnp.zeros_like(dmean), jnp.zeros_like(dvar))
+    )
+    return (
+        dx12, dp, dk12, dk3, dlin_bias, dbn_scale, dbn_bias,
+        jnp.zeros_like(mask), jnp.zeros_like(n),
+    )
+
+
+assign_tail_train_psum.defvjp(_atfp_fwd, _atfp_bwd)
+
+
 def _ah_bwd(res, cts):
     x12, h3a, k12, k3f, s, mask = res
     ds, ds_t = cts

@@ -639,22 +639,104 @@ def mega_forward(
         local_max = jnp.max(jnp.where(valid[:, None] > 0, embed, neg), 0)
         read1 = jnp.max(jax.lax.all_gather(local_max, axis), 0)
 
+        # fused Pallas assign tail (ops/pallas/assign_head.py): conv3's
+        # l2norm/relu/BN-stats/BN-fold/lin/softmax in two VMEM passes, with
+        # the one-pass statistics psum'd BETWEEN the passes (SyncBatchNorm
+        # semantics) — the [Ns, 1140] logits/S chains that dominated the
+        # r3 slide profile (f32 softmax fwd+bwd fusions) never reach HBM.
+        # Needs the paired layers (x12/agg3 precomputed), the relu
+        # homogeneity fold, fold_assign_tail, and 128-tiling rows.
+        def _fuse_on(v):
+            # tri-state 'auto'/'always'/'never' or plain bool (nn/model.py's
+            # tri_state with auto->True: pallas availability is implied by
+            # the mega path's own gates)
+            return (v != "never") if isinstance(v, str) else bool(v)
+
+        from cgcnet_tpu.ops.pallas import assign_head as _ah
+
+        fused_tail = (
+            paired
+            and cfg.fold_assign_tail
+            and cfg.activation == "relu"
+            and inp.nbr_remap.shape[0] % 128 == 0
+            and _fuse_on(cfg.fused_assign_softmax)
+            and _fuse_on(cfg.fused_assign_norm)
+            # the kernel needs a real TPU or the Pallas interpreter
+            and (jax.default_backend() == "tpu" or _ah._interpret())
+        )
+
         def pool1_segment(pool_params, pool_stats, px, pembed, p12, agg3_p):
             # stats flow OUT as explicit returns (jax.checkpoint purity)
             so: dict = {}
-            assign = _stage1_block(
-                {"pool1": pool_params}, {"pool1": pool_stats}, "pool1",
-                px, adj, valid, cfg, axis, train,
-                lin=True, stats_out=so, pre12=p12, pre_agg3=agg3_p,
-            )
-            # assignment softmax in f32 (nn/blocks.py:360 island), to dtype
-            s = jax.nn.softmax(assign.astype(jnp.float32), -1).astype(
-                dtype
-            ) * valid[:, None]
-            x_pool = jax.lax.psum(s.T @ pembed, axis)            # [d1, F]
+            if fused_tail:
+                from cgcnet_tpu.ops.pallas import assign_head as ah
+
+                dt = pembed.dtype
+                denom = jnp.clip(adj.rowsum(), min=1.0)[:, None].astype(dt)
+                # conv3 RAW lin output (pre-normalize/mask/act) — the
+                # kernel recomputes l2norm+relu in VMEM (_rnorm_h)
+                p_raw = _linear(
+                    pool_params["gcn3"]["lin"], agg3_p / denom
+                )
+                x12 = jnp.concatenate(p12, -1)
+                k = pool_params["lin"]["kernel"]
+                split = x12.shape[-1]
+                k12, k3 = k[:split], k[split:]
+                lin_bias = pool_params["lin"].get(
+                    "bias", jnp.zeros((k.shape[1],), jnp.float32)
+                )
+                vm = valid.astype(dt)
+                if train:
+                    n_glob = jax.lax.psum(
+                        jnp.sum(valid.astype(jnp.float32)), axis
+                    )
+                    s, s_t, mean, var = ah.assign_tail_train_psum(
+                        x12[None], p_raw[None], k12, k3, lin_bias,
+                        pool_params["bn3"]["scale"],
+                        pool_params["bn3"]["bias"],
+                        vm[None], n_glob, 1e-5, axis,
+                    )
+                    # running-stat update: same blend as _bn_moments
+                    unbiased = var * n_glob / jnp.maximum(n_glob - 1.0, 1.0)
+                    st = pool_stats.get("bn3") or {
+                        "mean": jnp.zeros_like(mean),
+                        "var": jnp.ones_like(var),
+                    }
+                    so["bn3"] = {
+                        "mean": 0.9 * st["mean"] + 0.1 * mean,
+                        "var": 0.9 * st["var"] + 0.1 * unbiased,
+                    }
+                else:
+                    st = pool_stats["bn3"]
+                    inv = jax.lax.rsqrt(st["var"] + 1e-5) * pool_params[
+                        "bn3"
+                    ]["scale"]
+                    shift = pool_params["bn3"]["bias"] - st["mean"] * inv
+                    s, s_t = ah.assign_head_softmax_pre(
+                        x12[None], p_raw[None], k12,
+                        inv[:, None] * k3, shift @ k3 + lin_bias, vm[None],
+                    )
+                s, s_t = s[0], s_t[0]
+            else:
+                assign = _stage1_block(
+                    {"pool1": pool_params}, {"pool1": pool_stats}, "pool1",
+                    px, adj, valid, cfg, axis, train,
+                    lin=True, stats_out=so, pre12=p12, pre_agg3=agg3_p,
+                )
+                so = so.get("pool1", {})
+                # assignment softmax in f32 (nn/blocks.py:360 island)
+                s = jax.nn.softmax(assign.astype(jnp.float32), -1).astype(
+                    dtype
+                ) * valid[:, None]
+                s_t = s.T
             a_s = adj(s)                                         # [Ns, d1]
-            adj_pool = jax.lax.psum(s.T @ a_s, axis)             # [d1, d1]
-            return x_pool, adj_pool, so.get("pool1", {})
+            # both DiffPool contractions ride ONE [d1, Ns] @ [Ns, F+d1]
+            # matmul and ONE psum (nn/blocks._contract_dual_pair's trick)
+            both = jax.lax.psum(
+                s_t @ jnp.concatenate([pembed, a_s], -1), axis
+            )
+            f_emb = pembed.shape[-1]
+            return both[:, :f_emb], both[:, f_emb:], so
 
         if remat:
             # the [Ns, d1]-class tensors (assign logits, S, A@S) dominate

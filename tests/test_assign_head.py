@@ -299,3 +299,65 @@ def test_fusion_requires_bn(rng):
     v = model.init(jax.random.key(0), g, train=False)
     out = np.asarray(model.apply(v, g, train=False))
     assert np.isfinite(out).all()
+
+
+def test_psum_tail_matches_single_device(rng):
+    """assign_tail_train_psum under a 2-shard shard_map == single-device
+    assign_tail_train on the concatenated rows: forward (S, mean, var) AND
+    gradients — dp needs the GLOBAL stats cotangents while the replicated
+    kernel grads must stay local contributions (shard_map psums them)."""
+    import numpy as np
+    from jax.sharding import Mesh, PartitionSpec as P
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs 2 virtual devices")
+    b, n, c, f12 = 1, 256, 36, 8
+    x12 = jnp.asarray(rng.normal(size=(b, n, f12)).astype(np.float32))
+    p = jnp.asarray(rng.normal(size=(b, n, c)).astype(np.float32))
+    k12 = jnp.asarray(rng.normal(size=(f12, c)).astype(np.float32))
+    k3 = jnp.asarray(rng.normal(size=(c, c)).astype(np.float32) * 0.2)
+    lb = jnp.asarray(rng.normal(size=(c,)).astype(np.float32))
+    sc = jnp.ones((c,), jnp.float32)
+    bi = jnp.zeros((c,), jnp.float32)
+    mask = jnp.ones((b, n), jnp.float32)
+    mesh = Mesh(np.array(jax.devices()[:2]), ("graph",))
+
+    def sharded(x12v, pv, k3v):
+        def run(x12s, ps, masks, k3s):
+            n_glob = jax.lax.psum(jnp.sum(masks), "graph")
+            return ah.assign_tail_train_psum(
+                x12s, ps, k12, k3s, lb, sc, bi, masks, n_glob, 1e-5, "graph"
+            )
+
+        return jax.shard_map(
+            run, mesh=mesh,
+            in_specs=(P(None, "graph"), P(None, "graph"),
+                      P(None, "graph"), P()),
+            out_specs=(P(None, "graph"), P(None, None, "graph"), P(), P()),
+            check_vma=False,
+        )(x12v, pv, mask, k3v)
+
+    s_sh, _, mean_sh, var_sh = sharded(x12, p, k3)
+    s0, _, mean0, var0 = ah.assign_tail_train(
+        x12, p, k12, k3, lb, sc, bi, mask, jnp.float32(b * n), 1e-5
+    )
+    np.testing.assert_allclose(np.asarray(s_sh), np.asarray(s0), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(mean_sh), np.asarray(mean0),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(var_sh), np.asarray(var0),
+                               atol=1e-5)
+
+    loss_sh = lambda pv, kv: jnp.sum(
+        sharded(x12, pv, kv)[0].astype(jnp.float32) ** 2
+    )
+    loss_0 = lambda pv, kv: jnp.sum(
+        ah.assign_tail_train(
+            x12, pv, k12, kv, lb, sc, bi, mask, jnp.float32(b * n), 1e-5
+        )[0].astype(jnp.float32) ** 2
+    )
+    gp, gk = jax.grad(loss_sh, argnums=(0, 1))(p, k3)
+    gp0, gk0 = jax.grad(loss_0, argnums=(0, 1))(p, k3)
+    np.testing.assert_allclose(np.asarray(gp), np.asarray(gp0),
+                               atol=1e-3, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(gk), np.asarray(gk0),
+                               atol=1e-3, rtol=1e-3)

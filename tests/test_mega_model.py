@@ -435,3 +435,76 @@ def test_remat_pool1_matches_plain(rng):
         ),
         (g0, s0), (g1, s1),
     )
+
+
+def test_fused_assign_tail_matches_unfused(rng):
+    """The Pallas psum assign tail (mega_forward fused_tail) must match the
+    unfused XLA chain: forward, gradients, and the bn3 running-stat update.
+    Differences are single-pass-variance rounding only."""
+    import cgcnet_tpu.ops.pallas.bsr_kernel as bk
+
+    n_real, cap, d = 200, 256, 2   # 128 rows/shard -> fused gate tiles
+    x, nbr, mask = build(rng, n_real, cap)
+    g = CellGraph(
+        x=jnp.asarray(x)[None], nbr=jnp.asarray(nbr)[None],
+        nbr_mask=jnp.asarray(mask)[None],
+        n_nodes=jnp.asarray([n_real], jnp.int32),
+    )
+
+    def cfg_with(fused):
+        return ModelConfig(
+            input_dim=18, max_num_nodes=320, assign_ratio=0.2,
+            hidden_dim=8, embedding_dim=8, assign_hidden_dim=8,
+            drop_out=0.0, use_pallas=False,
+            fused_assign_softmax=fused, fused_assign_norm=fused,
+        )
+
+    variables = CGCNet(cfg_with("never")).init(
+        {"params": jax.random.key(5)}, g, train=False
+    )
+    mesh = make_mesh(1, d, devices=jax.devices()[:d])
+    part = partition_graph(nbr, mask, d)
+    inp = prepare_mega_inputs(x, part, mesh, n_real=n_real)
+
+    bk.set_interpret(True)  # assign-head kernel follows this toggle
+    try:
+        outs, grads, stats = {}, {}, {}
+        for fused in ("never", "always"):
+            cfg = cfg_with(fused)
+            outs[fused] = np.asarray(
+                jax.jit(
+                    lambda v: mega_forward(v, cfg, inp, mesh, train=False)
+                )(variables)
+            )
+
+            def loss(params):
+                v = {"params": params,
+                     "batch_stats": variables["batch_stats"]}
+                logits, new_stats = mega_forward(
+                    v, cfg, inp, mesh, train=True, return_stats=True
+                )
+                return -jax.nn.log_softmax(logits)[1], new_stats
+
+            (l, st), gr = jax.jit(
+                jax.value_and_grad(loss, has_aux=True)
+            )(variables["params"])
+            grads[fused], stats[fused] = gr, st
+        np.testing.assert_allclose(outs["always"], outs["never"], atol=3e-5)
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=5e-4, rtol=2e-3
+            ),
+            grads["always"], grads["never"],
+        )
+        np.testing.assert_allclose(
+            np.asarray(stats["always"]["pool1"]["bn3"]["mean"]),
+            np.asarray(stats["never"]["pool1"]["bn3"]["mean"]),
+            atol=1e-5,
+        )
+        np.testing.assert_allclose(
+            np.asarray(stats["always"]["pool1"]["bn3"]["var"]),
+            np.asarray(stats["never"]["pool1"]["bn3"]["var"]),
+            atol=1e-5, rtol=1e-5,
+        )
+    finally:
+        bk.set_interpret(False)
