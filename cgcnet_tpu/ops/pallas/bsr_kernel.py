@@ -26,6 +26,8 @@ metadata (see ops.ell.ell_spmm_factored wiring in nn/adjacency.py).
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -108,25 +110,27 @@ def bsr_block_meta(
 # ---------------------------------------------------------------------------
 
 def _bsr_kernel(
-    blk_cols_ref,   # scalar prefetch: i32[B, R, M]
-    blk_mask_ref,   # scalar prefetch: i32[B, R, M]
+    blk_cols_ref,   # scalar prefetch: i32[B*R*M] (flat — see _flat_tables)
+    blk_mask_ref,   # scalar prefetch: i32[B*R*M]
     nbr_ref,        # i32[1, T, K]
     w_ref,          # f32[1, T, K]
     x_ref,          # f32[1, T, F]   (column tile selected via blk_cols)
     out_ref,        # f32[1, T, F]
+    *, r: int, m_cap: int,
 ):
     b = pl.program_id(0)
     ri = pl.program_id(1)
     m = pl.program_id(2)
 
     t, k = nbr_ref.shape[1], nbr_ref.shape[2]
-    col_base = blk_cols_ref[b, ri, m] * t
+    idx = (b * r + ri) * m_cap + m
+    col_base = blk_cols_ref[idx] * t
     col_ids = jax.lax.broadcasted_iota(jnp.int32, (t, t), 1) + col_base
     nbr = nbr_ref[0]
     w = w_ref[0]
     # bm zeroes the contribution of padding block slots; every grid step
     # writes the output block (required for the revisit/accumulate pipeline)
-    bm = blk_mask_ref[b, ri, m].astype(jnp.float32)
+    bm = blk_mask_ref[idx].astype(jnp.float32)
     block = jnp.zeros((t, t), jnp.float32)
     for kk in range(k):
         # select(cmp, w, 0) is one VPU op fewer than cmp.astype * w — the
@@ -150,18 +154,18 @@ def _bsr_kernel(
 
 
 def _bsr_kernel_resident(
-    blk_cols_ref,   # scalar prefetch: i32[B, R, M]
-    blk_mask_ref,   # scalar prefetch: i32[B, R, M]
+    blk_cols_ref,   # scalar prefetch: i32[B*R*M] (flat)
+    blk_mask_ref,   # scalar prefetch: i32[B*R*M]
     nbr_ref,        # i32[1, N, K]
     w_ref,          # f32[1, N, K]
     x_ref,          # [1, N, F]  (whole table resident in VMEM)
     out_ref,        # [1, N, F]
+    *, m_cap: int,
 ):
     b = pl.program_id(0)
     n, k = nbr_ref.shape[1], nbr_ref.shape[2]
     t = TILE
     r = n // t
-    m_cap = blk_cols_ref.shape[2]
     f = x_ref.shape[2]
 
     def row_tile(ri, _):
@@ -173,8 +177,9 @@ def _bsr_kernel_resident(
         # unrolled body; a dynamic trip count measured ~20% slower even
         # though it skips padded slots
         for mi in range(m_cap):
-            col_base = pl.multiple_of(blk_cols_ref[b, ri, mi] * t, t)
-            bm = blk_mask_ref[b, ri, mi].astype(jnp.float32)
+            idx = (b * r + ri) * m_cap + mi
+            col_base = pl.multiple_of(blk_cols_ref[idx] * t, t)
+            bm = blk_mask_ref[idx].astype(jnp.float32)
             col_ids = (
                 jax.lax.broadcasted_iota(jnp.int32, (t, t), 1) + col_base
             )
@@ -196,6 +201,7 @@ def _bsr_kernel_resident(
 def _bsr_resident_call(nbr, w, blk_cols, blk_mask, x):
     b, n, k = nbr.shape
     f = x.shape[-1]
+    m_cap = blk_cols.shape[-1]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(b,),
@@ -207,16 +213,24 @@ def _bsr_resident_call(nbr, w, blk_cols, blk_mask, x):
         out_specs=pl.BlockSpec((1, n, f), lambda bi, bc, bm: (bi, 0, 0)),
     )
     return pl.pallas_call(
-        _bsr_kernel_resident,
+        functools.partial(_bsr_kernel_resident, m_cap=m_cap),
         out_shape=jax.ShapeDtypeStruct((b, n, f), x.dtype),
         grid_spec=grid_spec,
         interpret=_INTERPRET,
         cost_estimate=pl.CostEstimate(
-            flops=2 * b * (n // TILE) * blk_cols.shape[-1] * TILE * TILE * f,
+            flops=2 * b * (n // TILE) * m_cap * TILE * TILE * f,
             bytes_accessed=b * n * (2 * k * 4 + 2 * f * 4),
             transcendentals=0,
         ),
-    )(blk_cols, blk_mask.astype(jnp.int32), nbr, w.astype(jnp.float32), x)
+    )(
+        # flat 1D prefetch tables: SMEM pads 2D+ scalar operands to (8,128)
+        # tiles, which blows the 1 MB SMEM budget at slide scale — an
+        # [R=3908, M=9] i32 table pads to 2 MB (observed 500k-nuclei compile
+        # OOM); flattened it stays R*M*4 bytes
+        blk_cols.reshape(-1),
+        blk_mask.astype(jnp.int32).reshape(-1),
+        nbr, w.astype(jnp.float32), x,
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -232,11 +246,12 @@ def _bsr_resident_call(nbr, w, blk_cols, blk_mask, x):
 
 
 def _build_blocks_kernel(
-    blk_cols_ref,   # scalar prefetch: i32[B, R, M]
-    blk_mask_ref,   # scalar prefetch: i32[B, R, M]
+    blk_cols_ref,   # scalar prefetch: i32[B*R*M] (flat)
+    blk_mask_ref,   # scalar prefetch: i32[B*R*M]
     nbr_ref,        # i32[1, T, K]
     w_ref,          # f32[1, T, K]
     vals_ref,       # [1, 1, M, T, T]
+    *, r: int,
 ):
     b = pl.program_id(0)
     ri = pl.program_id(1)
@@ -245,8 +260,9 @@ def _build_blocks_kernel(
     nbr = nbr_ref[0]
     w = w_ref[0]
     for mi in range(m_cap):
-        col_base = blk_cols_ref[b, ri, mi] * t
-        bm = blk_mask_ref[b, ri, mi].astype(jnp.float32)
+        idx = (b * r + ri) * m_cap + mi
+        col_base = blk_cols_ref[idx] * t
+        bm = blk_mask_ref[idx].astype(jnp.float32)
         col_ids = jax.lax.broadcasted_iota(jnp.int32, (t, t), 1) + col_base
         block = jnp.zeros((t, t), jnp.float32)
         for kk in range(k):
@@ -283,7 +299,7 @@ def bsr_build_blocks(
         ),
     )
     return pl.pallas_call(
-        _build_blocks_kernel,
+        functools.partial(_build_blocks_kernel, r=r),
         out_shape=jax.ShapeDtypeStruct((b, r, m, TILE, TILE), dtype),
         grid_spec=grid_spec,
         interpret=_INTERPRET,
@@ -292,11 +308,15 @@ def bsr_build_blocks(
             bytes_accessed=b * (n * k * 8 + r * m * TILE * TILE * 4),
             transcendentals=0,
         ),
-    )(blk_cols, blk_mask.astype(jnp.int32), nbr, w.astype(jnp.float32))
+    )(
+        blk_cols.reshape(-1),
+        blk_mask.astype(jnp.int32).reshape(-1),
+        nbr, w.astype(jnp.float32),
+    )
 
 
 def _bsr_mm_resident_kernel(
-    blk_cols_ref,   # scalar prefetch: i32[B, R, M]
+    blk_cols_ref,   # scalar prefetch: i32[B*R*M] (flat)
     vals_ref,       # ANY/HBM: [B, R, M, T, T]
     x_ref,          # VMEM: [1, NC, F] (whole table resident)
     out_ref,        # VMEM: [1, R*T, F] (rows may differ from NC — the
@@ -336,7 +356,8 @@ def _bsr_mm_resident_kernel(
             ri = ci * g_sz + gi
             acc = jnp.zeros((t, f), jnp.float32)
             for mi in range(m_cap):
-                col_base = pl.multiple_of(blk_cols_ref[b, ri, mi] * t, t)
+                idx = (b * r + ri) * m_cap + mi
+                col_base = pl.multiple_of(blk_cols_ref[idx] * t, t)
                 xt = x_ref[0, pl.ds(col_base, t), :]
                 acc = acc + jnp.dot(
                     scratch[slot, gi, mi], xt,
@@ -425,12 +446,16 @@ def bsr_matmul(
                 bytes_accessed=vals_bytes + b * (n + nr) * f * itemsize,
                 transcendentals=0,
             ),
-        )(blk_cols, vals, x)
+        )(blk_cols.reshape(-1), vals, x)
     # large feature tables: the M x column tiles of each row tile arrive as
     # M pipelined BlockSpec inputs selected by the prefetched block columns
     def x_spec(mi):
+        # bc is the FLAT [B*R*M] block-column list (SMEM pads 2D scalar
+        # operands to (8,128) tiles — 2 MB at slide scale, over the 1 MB
+        # SMEM budget; flat it stays B*R*M*4 bytes)
         return pl.BlockSpec(
-            (1, TILE, f), lambda bi, ri, bc, mi=mi: (bi, bc[bi, ri, mi], 0)
+            (1, TILE, f),
+            lambda bi, ri, bc, mi=mi: (bi, bc[(bi * r + ri) * m + mi], 0),
         )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -454,7 +479,7 @@ def bsr_matmul(
             bytes_accessed=vals_bytes + b * r * m * TILE * f * itemsize,
             transcendentals=0,
         ),
-    )(blk_cols, vals, *([x] * m))
+    )(blk_cols.reshape(-1), vals, *([x] * m))
 
 
 # feature tables up to this many bytes stay fully VMEM-resident (the
@@ -493,7 +518,10 @@ def bsr_gather_sum(
                 (1, TILE, k), lambda bi, ri, mi, bc, bm: (bi, ri, 0)
             ),
             pl.BlockSpec(
-                (1, TILE, f), lambda bi, ri, mi, bc, bm: (bi, bc[bi, ri, mi], 0)
+                (1, TILE, f),
+                lambda bi, ri, mi, bc, bm: (
+                    bi, bc[(bi * r + ri) * m + mi], 0
+                ),
             ),
         ],
         out_specs=pl.BlockSpec(
@@ -501,7 +529,7 @@ def bsr_gather_sum(
         ),
     )
     return pl.pallas_call(
-        _bsr_kernel,
+        functools.partial(_bsr_kernel, r=r, m_cap=m),
         out_shape=jax.ShapeDtypeStruct((b, n, f), x.dtype),
         grid_spec=grid_spec,
         interpret=_INTERPRET,
@@ -510,4 +538,8 @@ def bsr_gather_sum(
             bytes_accessed=b * n * (2 * k * 4 + 2 * f * 4),
             transcendentals=0,
         ),
-    )(blk_cols, blk_mask.astype(jnp.int32), nbr, w.astype(jnp.float32), x)
+    )(
+        blk_cols.reshape(-1),
+        blk_mask.astype(jnp.int32).reshape(-1),
+        nbr, w.astype(jnp.float32), x,
+    )
