@@ -71,8 +71,10 @@ def capture(nuclei: int, iters: int = 10, trace_dir: str = "/tmp/prof_slide"):
     label = jnp.asarray(1)
     key = jax.random.key(0)
 
+    # inputs as an argument, not a closure (closed-over tables serialize as
+    # HLO constants and overflow the remote-compile relay at slide scale)
     @jax.jit
-    def many(params, batch_stats, opt_state):
+    def many(params, batch_stats, opt_state, inputs):
         def body(i, carry):
             p, s, o, _ = carry
             p, s, o, loss = step(p, s, o, inputs, label,
@@ -83,9 +85,9 @@ def capture(nuclei: int, iters: int = 10, trace_dir: str = "/tmp/prof_slide"):
             0, iters, body, (params, batch_stats, opt_state, jnp.float32(0))
         )
 
-    jax.block_until_ready(many(params, batch_stats, opt_state))
+    jax.block_until_ready(many(params, batch_stats, opt_state, inputs))
     with jax.profiler.trace(trace_dir):
-        jax.block_until_ready(many(params, batch_stats, opt_state))
+        jax.block_until_ready(many(params, batch_stats, opt_state, inputs))
     print(f"slide: {build.n} nuclei, {build.edges} edges, {shards} shard(s), "
           f"bsr={build.bsr}")
     return trace_dir, iters

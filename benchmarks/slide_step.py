@@ -92,8 +92,11 @@ def main(argv=None):
     key = jax.random.key(0)
     iters = args.iters
 
+    # inputs MUST be an argument, not a closure: closed-over device arrays
+    # serialize as constants with the HLO, and the 1M-nuclei tables
+    # (~300 MB) overflow the remote-compile relay's request limit (HTTP 413)
     @jax.jit
-    def many(params, batch_stats, opt_state):
+    def many(params, batch_stats, opt_state, inputs):
         def body(i, carry):
             p, s, o, _ = carry
             p, s, o, loss = step(p, s, o, inputs, label,
@@ -105,12 +108,12 @@ def main(argv=None):
         )
 
     t0 = time.perf_counter()
-    out = jax.block_until_ready(many(params, batch_stats, opt_state))
+    out = jax.block_until_ready(many(params, batch_stats, opt_state, inputs))
     t_compile = time.perf_counter() - t0
     best = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
-        jax.block_until_ready(many(params, batch_stats, opt_state))
+        jax.block_until_ready(many(params, batch_stats, opt_state, inputs))
         best = min(best, time.perf_counter() - t0)
     t_step = best / iters
 
