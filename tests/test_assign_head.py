@@ -214,7 +214,21 @@ def test_model_fused_norm_matches_unfused(rng):
 
 def test_model_fused_softmax_matches_unfused(rng):
     """CGCNet with fused_assign_softmax='always' (interpret) must match the
-    unfused folded path: logits, grads, batch stats."""
+    unfused folded path: logits, grads, batch stats.
+
+    Grad-bound error model (diagnosed round 4, scripts/diag_fused_grad.py):
+    the two paths are algebraically identical but reassociate f32 reductions
+    differently, so their disagreement is bounded by each path's own roundoff
+    vs an f64 oracle — measured at up to 2.1e-3 abs on the worst leaf
+    (embed2.gcn1.lin.bias, |grad| ~ 16, rel 5.6e-5). The drift is backend-
+    partitioning-dependent (4.5e-5 on 1 CPU device vs 8.9e-4 on the conftest
+    8-device build of the SAME program), i.e. pure summation-order noise, not
+    a fused-backward defect: vs the f64 oracle the fused path sits at 2.1e-3
+    and the unfused at 1.3e-3 — the same order, neither systematically off.
+    Hence the grad check is rtol=2e-4 (covers the measured rel 5.6e-5 with
+    3.5x margin) + atol=5e-4 for near-zero leaves; a pure atol tighter than
+    f32 roundoff at |grad|~16 was demanding better-than-roundoff agreement.
+    """
     import dataclasses
 
     from cgcnet_tpu.config import ModelConfig
@@ -255,7 +269,7 @@ def test_model_fused_softmax_matches_unfused(rng):
     )
     jax.tree.map(
         lambda a, b: np.testing.assert_allclose(
-            np.asarray(a), np.asarray(b), atol=5e-4
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=5e-4
         ),
         g_on, g_off,
     )
