@@ -82,6 +82,13 @@ class ModelConfig:
     # 'always' / 'never' force. BN batch variance is computed single-pass
     # from (sum, sum-of-squares) — identical up to f32 rounding.
     fused_assign_norm: str | bool = "auto"
+    # Slide-capacity path: recompute the fused assign tail's backward in row
+    # chunks of this many nodes (0 = off). Bounds the backward working set
+    # to O(chunk * assign_dim) instead of ~7 concurrent [N, assign_dim]
+    # tensors — the measured 1M-nuclei single-chip OOM
+    # (benchmarks/slide_scale_r3.json). Must divide the per-shard node
+    # capacity and be a multiple of 128; costs ~2 extra fused-forward passes.
+    assign_tail_chunk: int = 0
 
     @property
     def assign_dims(self) -> tuple[int, int]:

@@ -618,6 +618,163 @@ def _atfp_bwd(eps, axis, res, cts):
 assign_tail_train_psum.defvjp(_atfp_fwd, _atfp_bwd)
 
 
+# ---------------------------------------------------------------------------
+# Chunked-row recompute backward — the slide-capacity path.
+#
+# The plain tail backward materializes several [B, N, C]-class temporaries at
+# once (g, gf/sf/dl32 in f32, dh, h, dp): at N=1M, C=1140 that is ~7 S-class
+# tensors live concurrently — the measured 19.94 GB single-chip OOM
+# (benchmarks/slide_scale_r3.json). This variant (a) does NOT save S as a
+# residual (recomputed per chunk from the same Pallas kernel — bit-identical,
+# the kernel is deterministic), and (b) runs the backward as two fori_loop
+# sweeps over row chunks, so only chunk-sized temporaries exist:
+#   phase A accumulates the [C]-class reductions (dk12, dk3f, dconst);
+#   phase B, with the global stats cotangents known, emits dp/dx12 per chunk.
+# Cost: the fused forward kernel re-runs twice (once per phase) — ~2 extra
+# MXU passes, paid only on the capacity path where HBM is the binding
+# constraint. Cross-shard semantics identical to assign_tail_train_psum
+# (axis=None degrades to the single-device assign_tail_train contract).
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10, 11))
+def assign_tail_train_chunked(
+    x12, p, k12, k3, lin_bias, bn_scale, bn_bias, mask, n,
+    eps: float = 1e-5, axis: str | None = None, chunk_rows: int = 65536,
+):
+    """``assign_tail_train``/``assign_tail_train_psum`` with a row-chunked
+    recompute backward bounding the working set to O(chunk_rows * C).
+
+    ``chunk_rows`` must divide N and be a multiple of 128. ``axis=None``
+    gives single-device statistics; an axis name psums them (SyncBatchNorm),
+    with the same cotangent routing as ``assign_tail_train_psum``.
+    """
+    ssum, ssq = _stats_call(p, mask)
+    if axis is not None:
+        ssum = jax.lax.psum(ssum, axis)
+        ssq = jax.lax.psum(ssq, axis)
+    k3f, const, mean, var = _tail_algebra(
+        ssum, ssq, k3, lin_bias, bn_scale, bn_bias, n, eps
+    )
+    s, s_t = _fwd_call_pre(x12, p, k12, k3f, const, mask)
+    return s, s_t, mean, var
+
+
+def _atc_fwd(x12, p, k12, k3, lin_bias, bn_scale, bn_bias, mask, n,
+             eps, axis, chunk_rows):
+    ssum, ssq = _stats_call(p, mask)
+    if axis is not None:
+        ssum = jax.lax.psum(ssum, axis)
+        ssq = jax.lax.psum(ssq, axis)
+    k3f, const, mean, var = _tail_algebra(
+        ssum, ssq, k3, lin_bias, bn_scale, bn_bias, n, eps
+    )
+    s, s_t = _fwd_call_pre(x12, p, k12, k3f, const, mask)
+    # NO s in the residuals — phase A/B recompute it chunk-locally
+    res = (x12, p, k12, k3f, const, mask, ssum, ssq, k3, lin_bias,
+           bn_scale, bn_bias, n)
+    return (s, s_t, mean, var), res
+
+
+def _atc_bwd(eps, axis, chunk_rows, res, cts):
+    (x12, p, k12, k3f, const, mask, ssum, ssq, k3, lin_bias,
+     bn_scale, bn_bias, n) = res
+    ds, ds_t, dmean, dvar = cts
+    b, nrows, c = p.shape
+    f12 = x12.shape[-1]
+    ch = chunk_rows
+    assert nrows % ch == 0 and ch % TILE == 0, (nrows, ch)
+    nchunks = nrows // ch
+
+    def dl_of(ci):
+        """Chunk-local recompute: S (same kernel → bit-identical), then the
+        masked-softmax cotangent fold. The full prefix mask sliced at a
+        chunk is still a prefix within the chunk, so the kernel's
+        count-from-mask contract holds."""
+        lo = ci * ch
+        xc = jax.lax.dynamic_slice_in_dim(x12, lo, ch, 1)
+        pc = jax.lax.dynamic_slice_in_dim(p, lo, ch, 1)
+        mc = jax.lax.dynamic_slice_in_dim(mask, lo, ch, 1)
+        dsc = jax.lax.dynamic_slice_in_dim(ds, lo, ch, 1)
+        dstc = jax.lax.dynamic_slice_in_dim(ds_t, lo, ch, 2)
+        sc, _ = _fwd_call_pre(xc, pc, k12, k3f, const, mc)
+        g = dsc + jnp.swapaxes(dstc, 1, 2)
+        gf = g.astype(jnp.float32)
+        sf = sc.astype(jnp.float32)
+        dl32 = sf * (gf - jnp.sum(gf * sf, axis=-1, keepdims=True))
+        return xc, pc, mc, dl32, dl32.astype(sc.dtype)
+
+    # ---- phase A: [C]-class reductions ----
+    def body_a(ci, carry):
+        dk12a, dk3fa, dconsta = carry
+        xc, pc, mc, dl32, dl = dl_of(ci)
+        dk12a = dk12a + jnp.einsum(
+            "bnf,bnc->fc", xc, dl, preferred_element_type=jnp.float32
+        )
+        pf = pc.astype(jnp.float32)
+        _, h32 = _rnorm_h(pf)
+        hc = (h32 * mc[..., None].astype(jnp.float32)).astype(p.dtype)
+        dk3fa = dk3fa + jnp.einsum(
+            "bnc,bnd->cd", hc, dl, preferred_element_type=jnp.float32
+        )
+        dconsta = dconsta + jnp.sum(dl32, axis=(0, 1))
+        return dk12a, dk3fa, dconsta
+
+    dk12, dk3f, dconst = jax.lax.fori_loop(
+        0, nchunks, body_a,
+        (jnp.zeros((f12, c), jnp.float32),
+         jnp.zeros((c, c), jnp.float32),
+         jnp.zeros((c,), jnp.float32)),
+    )
+
+    _, alg_vjp = jax.vjp(
+        lambda su, sq, kk, lb, bs, bb: _tail_algebra(
+            su, sq, kk, lb, bs, bb, n, eps
+        ),
+        ssum, ssq, k3, lin_bias, bn_scale, bn_bias,
+    )
+    if axis is not None:
+        # same routing as _atfp_bwd: sharded-row path needs GLOBAL stats
+        # cotangents; replicated-param grads stay local (shard_map's
+        # transpose psums them)
+        dk3f_g = jax.lax.psum(dk3f, axis)
+        dconst_g = jax.lax.psum(dconst, axis)
+        dssum_g, dssq_g, _, _, _, _ = alg_vjp(
+            (dk3f_g, dconst_g, dmean, dvar)
+        )
+        _, _, dk3, dlin_bias, dbn_scale, dbn_bias = alg_vjp(
+            (dk3f, dconst, jnp.zeros_like(dmean), jnp.zeros_like(dvar))
+        )
+    else:
+        dssum_g, dssq_g, dk3, dlin_bias, dbn_scale, dbn_bias = alg_vjp(
+            (dk3f, dconst, dmean, dvar)
+        )
+
+    # ---- phase B: row-sharded grads, chunk by chunk in place ----
+    def body_b(ci, carry):
+        dx12a, dpa = carry
+        xc, pc, mc, dl32, dl = dl_of(ci)
+        dh = dl @ k3f.astype(dl.dtype).T
+        dpc = _bwd_call(pc, dh, dssum_g, dssq_g, mc)
+        dxc = (dl @ k12.astype(dl.dtype).T).astype(dx12a.dtype)
+        lo = ci * ch
+        dx12a = jax.lax.dynamic_update_slice_in_dim(dx12a, dxc, lo, 1)
+        dpa = jax.lax.dynamic_update_slice_in_dim(dpa, dpc, lo, 1)
+        return dx12a, dpa
+
+    dx12, dp = jax.lax.fori_loop(
+        0, nchunks, body_b, (jnp.zeros_like(x12), jnp.zeros_like(p))
+    )
+    dk12 = dk12.astype(k12.dtype)
+    return (
+        dx12, dp, dk12, dk3, dlin_bias, dbn_scale, dbn_bias,
+        jnp.zeros_like(mask), jnp.zeros_like(n),
+    )
+
+
+assign_tail_train_chunked.defvjp(_atc_fwd, _atc_bwd)
+
+
 def _ah_bwd(res, cts):
     x12, h3a, k12, k3f, s, mask = res
     ds, ds_t = cts

@@ -65,13 +65,24 @@ def prepare_mega_inputs(
     mesh: Mesh,
     n_real: int | None = None,
     bsr=None,
+    put=None,
 ) -> MegaInputs:
     """``bsr``: optional mega_graph.ShardedBsrTables enabling the Pallas
-    block-sparse aggregation path."""
+    block-sparse aggregation path.
+
+    ``put(host_array, sharding) -> jax.Array`` overrides device placement —
+    required under multi-process meshes, where each process only holds its
+    addressable shards and must assemble globals via
+    ``jax.make_array_from_process_local_data`` instead of ``device_put``
+    (exercised by tests/mh_worker.py's cross-process mega scenario)."""
     n, k = part.nbr_remap.shape[0] * part.nbr_remap.shape[1], part.nbr_remap.shape[2]
     nn = part.nbr_remap.shape[0] * part.nbr_remap.shape[1]
     spec = NamedSharding(mesh, P("graph"))
-    put = lambda a: jax.device_put(jnp.asarray(a), spec)
+    if put is None:
+        put = lambda a, s=None: jax.device_put(jnp.asarray(a), spec)
+    else:
+        _user_put = put
+        put = lambda a: _user_put(np.asarray(a), spec)
     valid = np.zeros(nn, np.float32)
     valid[: (n_real if n_real is not None else nn)] = 1.0
     extra = {}
@@ -690,12 +701,24 @@ def mega_forward(
                     n_glob = jax.lax.psum(
                         jnp.sum(valid.astype(jnp.float32)), axis
                     )
-                    s, s_t, mean, var = ah.assign_tail_train_psum(
-                        x12[None], p_raw[None], k12, k3, lin_bias,
-                        pool_params["bn3"]["scale"],
-                        pool_params["bn3"]["bias"],
-                        vm[None], n_glob, 1e-5, axis,
-                    )
+                    ch = cfg.assign_tail_chunk
+                    if ch and p_raw.shape[0] % ch == 0 and ch % 128 == 0:
+                        # slide-capacity path: chunked-recompute backward
+                        # bounds the tail's working set (1M nuclei OOM'd
+                        # the plain backward — slide_scale_r3.json)
+                        s, s_t, mean, var = ah.assign_tail_train_chunked(
+                            x12[None], p_raw[None], k12, k3, lin_bias,
+                            pool_params["bn3"]["scale"],
+                            pool_params["bn3"]["bias"],
+                            vm[None], n_glob, 1e-5, axis, ch,
+                        )
+                    else:
+                        s, s_t, mean, var = ah.assign_tail_train_psum(
+                            x12[None], p_raw[None], k12, k3, lin_bias,
+                            pool_params["bn3"]["scale"],
+                            pool_params["bn3"]["bias"],
+                            vm[None], n_glob, 1e-5, axis,
+                        )
                     # running-stat update: same blend as _bn_moments
                     unbiased = var * n_glob / jnp.maximum(n_glob - 1.0, 1.0)
                     st = pool_stats.get("bn3") or {

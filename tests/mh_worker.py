@@ -130,8 +130,51 @@ def loader_scenario(pid: int, nproc: int, port: str, root: str) -> None:
     print(f"LOADER {pid} loss={loss:.6f} wrote={int(wrote)}", flush=True)
 
 
+def mega_scenario(pid: int, nproc: int, port: str) -> None:
+    """Graph-axis sharding ACROSS processes: one MegaCGCNet slide train step
+    on a (1, 4) mesh whose 'graph' axis spans both processes — the halo
+    all_to_all (and the psum BN/DiffPool reductions) ride the cross-process
+    Gloo channel, the CPU stand-in for a real multi-host DCN hop. Loss and
+    the parameter update must match the single-process virtual-mesh oracle
+    (tests/test_multihost.py::test_two_process_graph_sharded_mega_step)."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_num_cpu_devices", 2)
+    jax.distributed.initialize(
+        f"localhost:{port}", num_processes=nproc, process_id=pid
+    )
+    import numpy as np
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    sys.path.insert(
+        0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    import mega_recipe
+    from cgcnet_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(1, mega_recipe.N_SHARDS, devices=jax.devices())
+    shards_per_proc = mega_recipe.N_SHARDS // nproc
+
+    def put_sharded(a, spec):
+        # each process contributes only its addressable shards' rows
+        a = np.asarray(a)
+        rows_per_shard = a.shape[0] // mega_recipe.N_SHARDS
+        lo = pid * shards_per_proc * rows_per_shard
+        hi = (pid + 1) * shards_per_proc * rows_per_shard
+        return jax.make_array_from_process_local_data(spec, a[lo:hi])
+
+    def put_replicated(a):
+        return jax.device_put(a, NamedSharding(mesh, P()))
+
+    loss, delta = mega_recipe.run_mega_step(mesh, put_sharded, put_replicated)
+    print(f"MEGA {pid} loss={loss:.6f} delta={delta:.6f}", flush=True)
+
+
 if __name__ == "__main__":
-    if len(sys.argv) > 4:
+    if len(sys.argv) > 4 and sys.argv[4] == "mega":
+        mega_scenario(int(sys.argv[1]), int(sys.argv[2]), sys.argv[3])
+    elif len(sys.argv) > 4:
         loader_scenario(int(sys.argv[1]), int(sys.argv[2]), sys.argv[3],
                         sys.argv[4])
     else:

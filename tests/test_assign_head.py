@@ -375,3 +375,116 @@ def test_psum_tail_matches_single_device(rng):
                                atol=1e-3, rtol=1e-3)
     np.testing.assert_allclose(np.asarray(gk), np.asarray(gk0),
                                atol=1e-3, rtol=1e-3)
+
+
+def test_chunked_tail_matches_unchunked(rng):
+    """assign_tail_train_chunked == assign_tail_train: forward outputs are
+    bit-comparable (same kernels) and all nine gradients agree up to the f32
+    chunk-reassociation of the [C]-class accumulators. Single device
+    (axis=None) — the capacity contract of round-3 VERDICT Next #3."""
+    b, n, c, f12, ch = 1, 512, 36, 8, 128
+    x12 = jnp.asarray(rng.normal(size=(b, n, f12)).astype(np.float32))
+    p = jnp.asarray(rng.normal(size=(b, n, c)).astype(np.float32))
+    k12 = jnp.asarray(rng.normal(size=(f12, c)).astype(np.float32))
+    k3 = jnp.asarray(rng.normal(size=(c, c)).astype(np.float32) * 0.2)
+    lb = jnp.asarray(rng.normal(size=(c,)).astype(np.float32))
+    sc = jnp.ones((c,), jnp.float32)
+    bi = jnp.zeros((c,), jnp.float32)
+    mask = np.ones((b, n), np.float32)
+    mask[0, 400:] = 0.0
+    mask = jnp.asarray(mask)
+    nn = jnp.float32(400)
+
+    ref = ah.assign_tail_train(x12, p, k12, k3, lb, sc, bi, mask, nn, 1e-5)
+    chk = ah.assign_tail_train_chunked(
+        x12, p, k12, k3, lb, sc, bi, mask, nn, 1e-5, None, ch
+    )
+    for a, b_ in zip(ref, chk):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=1e-6)
+
+    def loss(fn, extra):
+        def run(x12v, pv, k3v, lbv, scv, biv):
+            s, s_t, mean, var = fn(
+                x12v, pv, k12, k3v, lbv, scv, biv, mask, nn, 1e-5, *extra
+            )
+            # touch every output so all cotangent paths are exercised
+            return (
+                jnp.sum(s.astype(jnp.float32) ** 2)
+                + jnp.sum(s_t.astype(jnp.float32) * 0.1)
+                + jnp.sum(mean * var)
+            )
+        return run
+
+    args = (x12, p, k3, lb, sc, bi)
+    g_ref = jax.grad(loss(ah.assign_tail_train, ()), argnums=tuple(range(6)))(
+        *args
+    )
+    g_chk = jax.grad(
+        loss(ah.assign_tail_train_chunked, (None, ch)),
+        argnums=tuple(range(6)),
+    )(*args)
+    for gr, gc in zip(g_ref, g_chk):
+        np.testing.assert_allclose(
+            np.asarray(gr), np.asarray(gc), atol=5e-5, rtol=1e-4
+        )
+
+
+def test_chunked_tail_psum_matches_single_device(rng):
+    """Chunked variant under a 2-shard shard_map (chunk < shard rows) ==
+    single-device unchunked tail on the concatenated rows — the >500k-sharded
+    deployment configuration's correctness artifact."""
+    from jax.sharding import Mesh, PartitionSpec as P
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs 2 virtual devices")
+    b, n, c, f12, ch = 1, 512, 36, 8, 128
+    x12 = jnp.asarray(rng.normal(size=(b, n, f12)).astype(np.float32))
+    p = jnp.asarray(rng.normal(size=(b, n, c)).astype(np.float32))
+    k12 = jnp.asarray(rng.normal(size=(f12, c)).astype(np.float32))
+    k3 = jnp.asarray(rng.normal(size=(c, c)).astype(np.float32) * 0.2)
+    lb = jnp.asarray(rng.normal(size=(c,)).astype(np.float32))
+    sc = jnp.ones((c,), jnp.float32)
+    bi = jnp.zeros((c,), jnp.float32)
+    mask = jnp.ones((b, n), jnp.float32)
+    mesh = Mesh(np.array(jax.devices()[:2]), ("graph",))
+
+    def sharded(x12v, pv, k3v):
+        def run(x12s, ps, masks, k3s):
+            n_glob = jax.lax.psum(jnp.sum(masks), "graph")
+            return ah.assign_tail_train_chunked(
+                x12s, ps, k12, k3s, lb, sc, bi, masks, n_glob, 1e-5,
+                "graph", ch,
+            )
+
+        return jax.shard_map(
+            run, mesh=mesh,
+            in_specs=(P(None, "graph"), P(None, "graph"),
+                      P(None, "graph"), P()),
+            out_specs=(P(None, "graph"), P(None, None, "graph"), P(), P()),
+            check_vma=False,
+        )(x12v, pv, mask, k3v)
+
+    s_sh, _, mean_sh, var_sh = sharded(x12, p, k3)
+    s0, _, mean0, var0 = ah.assign_tail_train(
+        x12, p, k12, k3, lb, sc, bi, mask, jnp.float32(b * n), 1e-5
+    )
+    np.testing.assert_allclose(np.asarray(s_sh), np.asarray(s0), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(mean_sh), np.asarray(mean0),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(var_sh), np.asarray(var0),
+                               atol=1e-5)
+
+    loss_sh = lambda pv, kv: jnp.sum(
+        sharded(x12, pv, kv)[0].astype(jnp.float32) ** 2
+    )
+    loss_0 = lambda pv, kv: jnp.sum(
+        ah.assign_tail_train(
+            x12, pv, k12, kv, lb, sc, bi, mask, jnp.float32(b * n), 1e-5
+        )[0].astype(jnp.float32) ** 2
+    )
+    gp, gk = jax.grad(loss_sh, argnums=(0, 1))(p, k3)
+    gp0, gk0 = jax.grad(loss_0, argnums=(0, 1))(p, k3)
+    np.testing.assert_allclose(np.asarray(gp), np.asarray(gp0),
+                               atol=1e-3, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(gk), np.asarray(gk0),
+                               atol=1e-3, rtol=1e-3)

@@ -508,3 +508,70 @@ def test_fused_assign_tail_matches_unfused(rng):
         )
     finally:
         bk.set_interpret(False)
+
+
+def test_chunked_assign_tail_matches_plain_mega(rng):
+    """cfg.assign_tail_chunk on the mega path: identical loss/grads/bn3
+    stats to the unchunked psum tail (the backward differs only in f32
+    chunk-accumulation order). This is the 1M-nuclei capacity path's
+    correctness gate (round-3 VERDICT Next #3)."""
+    import cgcnet_tpu.ops.pallas.bsr_kernel as bk
+
+    n_real, cap, d = 420, 512, 2   # 256 rows/shard -> 2 chunks of 128
+    x, nbr, mask = build(rng, n_real, cap)
+    g = CellGraph(
+        x=jnp.asarray(x)[None], nbr=jnp.asarray(nbr)[None],
+        nbr_mask=jnp.asarray(mask)[None],
+        n_nodes=jnp.asarray([n_real], jnp.int32),
+    )
+
+    def cfg_with(chunk, fused="always"):
+        return ModelConfig(
+            input_dim=18, max_num_nodes=640, assign_ratio=0.2,
+            hidden_dim=8, embedding_dim=8, assign_hidden_dim=8,
+            drop_out=0.0, use_pallas=False,
+            fused_assign_softmax=fused, fused_assign_norm=fused,
+            assign_tail_chunk=chunk,
+        )
+
+    # init with the unfused config (same param tree; avoids compiling the
+    # Pallas head before the interpret toggle below)
+    variables = CGCNet(cfg_with(0, fused="never")).init(
+        {"params": jax.random.key(5)}, g, train=False
+    )
+    mesh = make_mesh(1, d, devices=jax.devices()[:d])
+    part = partition_graph(nbr, mask, d)
+    inp = prepare_mega_inputs(x, part, mesh, n_real=n_real)
+
+    bk.set_interpret(True)
+    try:
+        grads, stats, losses = {}, {}, {}
+        for chunk in (0, 128):
+            cfg = cfg_with(chunk)
+
+            def loss(params):
+                v = {"params": params,
+                     "batch_stats": variables["batch_stats"]}
+                logits, new_stats = mega_forward(
+                    v, cfg, inp, mesh, train=True, return_stats=True
+                )
+                return -jax.nn.log_softmax(logits)[1], new_stats
+
+            (l, st), gr = jax.jit(
+                jax.value_and_grad(loss, has_aux=True)
+            )(variables["params"])
+            grads[chunk], stats[chunk], losses[chunk] = gr, st, float(l)
+        np.testing.assert_allclose(losses[128], losses[0], atol=1e-6)
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=2e-5, rtol=1e-4
+            ),
+            grads[128], grads[0],
+        )
+        np.testing.assert_allclose(
+            np.asarray(stats[128]["pool1"]["bn3"]["var"]),
+            np.asarray(stats[0]["pool1"]["bn3"]["var"]),
+            atol=1e-6, rtol=1e-6,
+        )
+    finally:
+        bk.set_interpret(False)

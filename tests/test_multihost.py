@@ -122,6 +122,33 @@ def test_two_process_dp_step_matches_single():
 
 
 @pytest.mark.slow
+def test_two_process_graph_sharded_mega_step():
+    """The graph axis spans the process boundary: a (1, 4) mesh over
+    2 processes x 2 devices runs one MegaCGCNet slide train step, so the
+    capacity-padded halo all_to_all — the one collective whose semantics
+    could plausibly break at a process (DCN) boundary — crosses Gloo.
+    Both ranks and the single-process 4-device oracle must agree on loss
+    and on the parameter update (round-3 VERDICT Next #4)."""
+    raw = _run_worker_pair(
+        ["mega"], r"MEGA (\d) loss=([-\d.]+) delta=([-\d.]+)"
+    )
+    results = {k: (float(v[0]), float(v[1])) for k, v in raw.items()}
+    np.testing.assert_allclose(results[0][0], results[1][0], atol=1e-6)
+    np.testing.assert_allclose(results[0][1], results[1][1], rtol=1e-5)
+
+    # single-process oracle: same case on a 4-device virtual mesh
+    sys.path.insert(0, str(Path(__file__).parent))
+    import mega_recipe
+    from cgcnet_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(1, mega_recipe.N_SHARDS,
+                     devices=jax.devices()[: mega_recipe.N_SHARDS])
+    loss, delta = mega_recipe.run_mega_step(mesh)
+    np.testing.assert_allclose(results[0][0], loss, atol=1e-5)
+    np.testing.assert_allclose(results[0][1], delta, rtol=1e-4)
+
+
+@pytest.mark.slow
 def test_process_sharded_loader_and_checkpoint(tmp_path):
     """Each process loads only its slice of every global batch; the step
     agrees across processes and with a single-process loader over the same
