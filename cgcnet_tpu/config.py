@@ -86,8 +86,9 @@ class ModelConfig:
     # chunks of this many nodes (0 = off). Bounds the backward working set
     # to O(chunk * assign_dim) instead of ~7 concurrent [N, assign_dim]
     # tensors — the measured 1M-nuclei single-chip OOM
-    # (benchmarks/slide_scale_r3.json). Must divide the per-shard node
-    # capacity and be a multiple of 128; costs ~2 extra fused-forward passes.
+    # (benchmarks/slide_scale_r3.json). A target value, snapped to a legal
+    # multiple of 128 at trace time (non-dividing chunks get one remainder
+    # chunk); costs ~2 extra fused-forward passes.
     assign_tail_chunk: int = 0
 
     @property

@@ -637,6 +637,17 @@ assign_tail_train_psum.defvjp(_atfp_fwd, _atfp_bwd)
 # ---------------------------------------------------------------------------
 
 
+def pick_chunk(nrows: int, target: int) -> int:
+    """Snap the config's TARGET chunk size to a legal value: a multiple of
+    128, capped at nrows (0 = chunking unusable). The backward handles a
+    non-dividing chunk with one remainder chunk, so no divisor search is
+    needed — capacities are arbitrary 128-multiples (1M nuclei pads to
+    128*7813 with 7813 = 13*601; 500k to 128*3907 with 3907 prime)."""
+    if nrows % TILE or target < TILE:
+        return 0
+    return min(nrows, target // TILE * TILE)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10, 11))
 def assign_tail_train_chunked(
     x12, p, k12, k3, lin_bias, bn_scale, bn_bias, mask, n,
@@ -645,9 +656,10 @@ def assign_tail_train_chunked(
     """``assign_tail_train``/``assign_tail_train_psum`` with a row-chunked
     recompute backward bounding the working set to O(chunk_rows * C).
 
-    ``chunk_rows`` must divide N and be a multiple of 128. ``axis=None``
-    gives single-device statistics; an axis name psums them (SyncBatchNorm),
-    with the same cotangent routing as ``assign_tail_train_psum``.
+    ``chunk_rows`` must be a multiple of 128 (N // chunk full chunks plus
+    one remainder chunk). ``axis=None`` gives single-device statistics; an
+    axis name psums them (SyncBatchNorm), with the same cotangent routing
+    as ``assign_tail_train_psum``.
     """
     ssum, ssq = _stats_call(p, mask)
     if axis is not None:
@@ -682,21 +694,22 @@ def _atc_bwd(eps, axis, chunk_rows, res, cts):
     ds, ds_t, dmean, dvar = cts
     b, nrows, c = p.shape
     f12 = x12.shape[-1]
-    ch = chunk_rows
-    assert nrows % ch == 0 and ch % TILE == 0, (nrows, ch)
-    nchunks = nrows // ch
+    ch = min(chunk_rows, nrows)
+    assert ch % TILE == 0 and nrows % TILE == 0, (nrows, ch)
+    nfull = nrows // ch
+    rem = nrows - nfull * ch  # multiple of TILE (both operands are)
 
-    def dl_of(ci):
+    def dl_of(lo, size):
         """Chunk-local recompute: S (same kernel → bit-identical), then the
         masked-softmax cotangent fold. The full prefix mask sliced at a
         chunk is still a prefix within the chunk, so the kernel's
-        count-from-mask contract holds."""
-        lo = ci * ch
-        xc = jax.lax.dynamic_slice_in_dim(x12, lo, ch, 1)
-        pc = jax.lax.dynamic_slice_in_dim(p, lo, ch, 1)
-        mc = jax.lax.dynamic_slice_in_dim(mask, lo, ch, 1)
-        dsc = jax.lax.dynamic_slice_in_dim(ds, lo, ch, 1)
-        dstc = jax.lax.dynamic_slice_in_dim(ds_t, lo, ch, 2)
+        count-from-mask contract holds. ``size`` is static (full chunks come
+        from a fori_loop with static ch; the remainder is its own call)."""
+        xc = jax.lax.dynamic_slice_in_dim(x12, lo, size, 1)
+        pc = jax.lax.dynamic_slice_in_dim(p, lo, size, 1)
+        mc = jax.lax.dynamic_slice_in_dim(mask, lo, size, 1)
+        dsc = jax.lax.dynamic_slice_in_dim(ds, lo, size, 1)
+        dstc = jax.lax.dynamic_slice_in_dim(ds_t, lo, size, 2)
         sc, _ = _fwd_call_pre(xc, pc, k12, k3f, const, mc)
         g = dsc + jnp.swapaxes(dstc, 1, 2)
         gf = g.astype(jnp.float32)
@@ -705,9 +718,9 @@ def _atc_bwd(eps, axis, chunk_rows, res, cts):
         return xc, pc, mc, dl32, dl32.astype(sc.dtype)
 
     # ---- phase A: [C]-class reductions ----
-    def body_a(ci, carry):
+    def acc_a(carry, lo, size):
         dk12a, dk3fa, dconsta = carry
-        xc, pc, mc, dl32, dl = dl_of(ci)
+        xc, pc, mc, dl32, dl = dl_of(lo, size)
         dk12a = dk12a + jnp.einsum(
             "bnf,bnc->fc", xc, dl, preferred_element_type=jnp.float32
         )
@@ -720,12 +733,17 @@ def _atc_bwd(eps, axis, chunk_rows, res, cts):
         dconsta = dconsta + jnp.sum(dl32, axis=(0, 1))
         return dk12a, dk3fa, dconsta
 
-    dk12, dk3f, dconst = jax.lax.fori_loop(
-        0, nchunks, body_a,
-        (jnp.zeros((f12, c), jnp.float32),
-         jnp.zeros((c, c), jnp.float32),
-         jnp.zeros((c,), jnp.float32)),
+    carry_a = (
+        jnp.zeros((f12, c), jnp.float32),
+        jnp.zeros((c, c), jnp.float32),
+        jnp.zeros((c,), jnp.float32),
     )
+    carry_a = jax.lax.fori_loop(
+        0, nfull, lambda ci, cr: acc_a(cr, ci * ch, ch), carry_a
+    )
+    if rem:
+        carry_a = acc_a(carry_a, nfull * ch, rem)
+    dk12, dk3f, dconst = carry_a
 
     _, alg_vjp = jax.vjp(
         lambda su, sq, kk, lb, bs, bb: _tail_algebra(
@@ -751,20 +769,23 @@ def _atc_bwd(eps, axis, chunk_rows, res, cts):
         )
 
     # ---- phase B: row-sharded grads, chunk by chunk in place ----
-    def body_b(ci, carry):
+    def upd_b(carry, lo, size):
         dx12a, dpa = carry
-        xc, pc, mc, dl32, dl = dl_of(ci)
+        xc, pc, mc, dl32, dl = dl_of(lo, size)
         dh = dl @ k3f.astype(dl.dtype).T
         dpc = _bwd_call(pc, dh, dssum_g, dssq_g, mc)
         dxc = (dl @ k12.astype(dl.dtype).T).astype(dx12a.dtype)
-        lo = ci * ch
         dx12a = jax.lax.dynamic_update_slice_in_dim(dx12a, dxc, lo, 1)
         dpa = jax.lax.dynamic_update_slice_in_dim(dpa, dpc, lo, 1)
         return dx12a, dpa
 
-    dx12, dp = jax.lax.fori_loop(
-        0, nchunks, body_b, (jnp.zeros_like(x12), jnp.zeros_like(p))
+    carry_b = (jnp.zeros_like(x12), jnp.zeros_like(p))
+    carry_b = jax.lax.fori_loop(
+        0, nfull, lambda ci, cr: upd_b(cr, ci * ch, ch), carry_b
     )
+    if rem:
+        carry_b = upd_b(carry_b, nfull * ch, rem)
+    dx12, dp = carry_b
     dk12 = dk12.astype(k12.dtype)
     return (
         dx12, dp, dk12, dk3, dlin_bias, dbn_scale, dbn_bias,

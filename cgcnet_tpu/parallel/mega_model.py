@@ -701,8 +701,11 @@ def mega_forward(
                     n_glob = jax.lax.psum(
                         jnp.sum(valid.astype(jnp.float32)), axis
                     )
-                    ch = cfg.assign_tail_chunk
-                    if ch and p_raw.shape[0] % ch == 0 and ch % 128 == 0:
+                    ch = (
+                        ah.pick_chunk(p_raw.shape[0], cfg.assign_tail_chunk)
+                        if cfg.assign_tail_chunk else 0
+                    )
+                    if ch:
                         # slide-capacity path: chunked-recompute backward
                         # bounds the tail's working set (1M nuclei OOM'd
                         # the plain backward — slide_scale_r3.json)

@@ -402,6 +402,20 @@ def test_chunked_tail_matches_unchunked(rng):
     for a, b_ in zip(ref, chk):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=1e-6)
 
+    # non-dividing chunk: 512 = 1 full 384-chunk + one 128-row remainder
+    g384 = jax.grad(
+        lambda pv: jnp.sum(ah.assign_tail_train_chunked(
+            x12, pv, k12, k3, lb, sc, bi, mask, nn, 1e-5, None, 384
+        )[0].astype(jnp.float32) ** 2)
+    )(p)
+    g0 = jax.grad(
+        lambda pv: jnp.sum(ah.assign_tail_train(
+            x12, pv, k12, k3, lb, sc, bi, mask, nn, 1e-5
+        )[0].astype(jnp.float32) ** 2)
+    )(p)
+    np.testing.assert_allclose(np.asarray(g384), np.asarray(g0),
+                               atol=5e-5, rtol=1e-4)
+
     def loss(fn, extra):
         def run(x12v, pv, k3v, lbv, scv, biv):
             s, s_t, mean, var = fn(
