@@ -218,32 +218,59 @@ bsr_matmul_precomp.defvjp(_bsr_pre_fwd, _bsr_pre_bwd)
 def bsr_local_matmul(
     vals: jax.Array,       # [1, R, M, T, T] blocks of the local operator
     blk_cols: jax.Array,   # i32[1, R, M]
+    win: jax.Array,        # i32[1, S] window bases, or [1, 0] sentinel
     vals_t: jax.Array,     # [1, RC, MT, T, T] blocks of its transpose
     blk_cols_t: jax.Array, # i32[1, RC, MT]
-    xx: jax.Array,         # [NC, F]  (local ++ halo, padded)
+    win_t: jax.Array,      # i32[1, S_t] or [1, 0]
+    h: jax.Array,          # [Ns, F] local rows
+    halo: jax.Array,       # [NC - Ns, F] exchanged halo rows (zero-padded)
 ) -> jax.Array:
     """Rectangular per-shard matmul for the mega path: out[Ns, F] =
-    A_loc @ xx where A_loc is [Ns x NC] (halo columns are extra tiles).
-    The VJP runs the transposed blocks (d_xx [NC, F]); the surrounding
-    halo-exchange autodiff then routes halo cotangents back to their owner
-    shards. Runs inside shard_map — per shard, batch dim 1."""
-    from cgcnet_tpu.ops.pallas.bsr_kernel import bsr_matmul
+    A_loc @ [h ++ halo] where A_loc is [Ns x NC] (halo columns are extra
+    tiles). The VJP runs the transposed blocks; the halo slice of its
+    output routes back to owner shards through the halo-exchange autodiff.
+    Runs inside shard_map — per shard, batch dim 1.
 
+    ``win``/``win_t`` select the banded x-window kernel per direction
+    (bsr_kernel.bsr_matmul_banded — the slide-scale F=1140 legs are
+    x-re-DMA-bound in the streamed kernel); a [1, 0] sentinel keeps the
+    streamed kernel for that direction. The banded forward reads ``h`` and
+    ``halo`` as separate arrays, so the [NC, F] concat — a full S-sized
+    HBM round trip at slide scale, 0.9 ms in the r4 profile — never
+    materializes on that path."""
+    from cgcnet_tpu.ops.pallas.bsr_kernel import bsr_matmul, bsr_matmul_banded
+
+    if win.shape[-1]:
+        return bsr_matmul_banded(
+            vals, blk_cols, win, h[None], ns_rows=h.shape[0],
+            halo=halo[None],
+        )[0]
+    xx = jnp.concatenate([h, halo], axis=0)
     return bsr_matmul(vals, blk_cols, xx[None])[0]
 
 
-def _bsr_local_fwd(vals, blk_cols, vals_t, blk_cols_t, xx):
-    out = bsr_local_matmul(vals, blk_cols, vals_t, blk_cols_t, xx)
-    return out, (vals, blk_cols, vals_t, blk_cols_t)
+def _bsr_local_fwd(vals, blk_cols, win, vals_t, blk_cols_t, win_t, h, halo):
+    out = bsr_local_matmul(
+        vals, blk_cols, win, vals_t, blk_cols_t, win_t, h, halo
+    )
+    return out, (vals, blk_cols, win, vals_t, blk_cols_t, win_t, h.shape[0])
 
 
 def _bsr_local_bwd(res, g):
-    from cgcnet_tpu.ops.pallas.bsr_kernel import bsr_matmul
+    from cgcnet_tpu.ops.pallas.bsr_kernel import bsr_matmul, bsr_matmul_banded
 
-    vals, blk_cols, vals_t, blk_cols_t = res
-    d_xx = bsr_matmul(vals_t, blk_cols_t, g[None])[0]
-    z = jax.tree.map(jnp.zeros_like, (vals, blk_cols, vals_t, blk_cols_t))
-    return (*z, d_xx)
+    vals, blk_cols, win, vals_t, blk_cols_t, win_t, ns = res
+    if win_t.shape[-1]:
+        # transpose x = the forward's row space: no halo column tiles
+        d_xx = bsr_matmul_banded(
+            vals_t, blk_cols_t, win_t, g[None], ns_rows=g.shape[0]
+        )[0]
+    else:
+        d_xx = bsr_matmul(vals_t, blk_cols_t, g[None])[0]
+    z = jax.tree.map(
+        jnp.zeros_like, (vals, blk_cols, win, vals_t, blk_cols_t, win_t)
+    )
+    return (*z, d_xx[:ns], d_xx[ns:])
 
 
 bsr_local_matmul.defvjp(_bsr_local_fwd, _bsr_local_bwd)

@@ -359,8 +359,10 @@ def _bsr_mm_resident_kernel(
                 idx = (b * r + ri) * m_cap + mi
                 col_base = pl.multiple_of(blk_cols_ref[idx] * t, t)
                 xt = x_ref[0, pl.ds(col_base, t), :]
+                # int8 vals (binary adjacency, mega path) convert at use:
+                # one VPU pass per block vs half the HBM/DMA bytes
                 acc = acc + jnp.dot(
-                    scratch[slot, gi, mi], xt,
+                    scratch[slot, gi, mi].astype(xt.dtype), xt,
                     preferred_element_type=jnp.float32,
                 )
             out_ref[0, pl.ds(pl.multiple_of(ri * t, t), t), :] = acc.astype(
@@ -384,7 +386,9 @@ def _make_streamed_kernel(m_cap: int):
         acc = jnp.zeros((TILE, f), jnp.float32)
         for mi in range(m_cap):
             acc = acc + jnp.dot(
-                vals_ref[0, 0, mi],
+                # int8 vals (binary adjacency) convert at use — see
+                # _bsr_mm_resident_kernel
+                vals_ref[0, 0, mi].astype(x_refs[mi].dtype),
                 x_refs[mi][0],
                 preferred_element_type=jnp.float32,
             )
@@ -485,6 +489,192 @@ def bsr_matmul(
 # feature tables up to this many bytes stay fully VMEM-resident (the
 # single-grid-step kernel); larger tables use the tiled column-DMA kernel
 _RESIDENT_LIMIT = 4 * 1024 * 1024
+
+
+# ---------------------------------------------------------------------------
+# banded-window kernel: multi-row-tile x reuse for slide-scale F
+# ---------------------------------------------------------------------------
+#
+# The streamed kernel above re-DMAs each x column tile once per (row tile,
+# block slot): at 100k nuclei / F=1140 that is M≈9 x-tile reads per row tile
+# = 2.05 GB of x traffic per matvec — the measured 2.8 ms/leg A@S cost is
+# exactly that DMA (roofline r4). The graph is spatially sorted, so the
+# block columns of G consecutive row tiles live in ONE contiguous window of
+# column tiles: this kernel processes G row tiles per grid step, manually
+# double-buffering a [W_BAND + halo] column-tile x window, cutting x traffic
+# by ~G*M/(W_BAND) ≈ 3x. Halo column tiles (index >= ns) sit permanently in
+# the window's tail (they are few — gate H_BAND_MAX). vals/out pipeline via
+# ordinary BlockSpecs.
+
+G_BAND = 4        # row tiles per grid step (capacities padded to 4*128)
+W_BAND = 16       # contiguous column-tile window per grid step (the 100k
+                  # spatially-sorted slide's worst 4-tile-group span is
+                  # exactly 16; 12 rejected 193/196 super tiles)
+H_BAND_MAX = 4    # max halo column tiles resident in the window tail
+
+
+def band_window_table(
+    blk_cols: np.ndarray,   # i32[R, M] one shard
+    blk_mask: np.ndarray,   # [R, M]
+    ns_tiles: int,          # local column tiles (halo tiles start here)
+) -> np.ndarray | None:
+    """Per-super-row-tile window bases, or None when the band is too wide
+    for W_BAND (caller falls back to the streamed kernel). Requires
+    R % G_BAND == 0 (capacities are padded to 4*128 on the mega path) and
+    ns_tiles >= W_BAND."""
+    r = blk_cols.shape[0]
+    if r % G_BAND or r < G_BAND or ns_tiles < W_BAND:
+        return None
+    s_count = r // G_BAND
+    base = np.zeros(s_count, np.int32)
+    for si in range(s_count):
+        rows = slice(si * G_BAND, (si + 1) * G_BAND)
+        cols = blk_cols[rows][blk_mask[rows] > 0]
+        cols = cols[cols < ns_tiles]  # halo tiles ride in the resident tail
+        if len(cols) == 0:
+            continue
+        lo, hi = int(cols.min()), int(cols.max())
+        b0 = min(lo, ns_tiles - W_BAND)
+        if hi >= b0 + W_BAND:
+            return None  # band wider than the window at this super tile
+        base[si] = b0
+    return base
+
+
+def _banded_kernel(
+    blk_cols_ref,   # scalar prefetch: i32[B*R*M] (flat)
+    win_ref,        # scalar prefetch: i32[B*S]
+    x_ref,          # ANY/HBM: [B, NCx, F] local columns
+    xh_ref,         # ANY/HBM: halo-column source (x_ref itself, offset
+                    #   ns_tiles*T, when the caller passed one concatenated
+                    #   array; a separate [B, H*T, F] array otherwise — the
+                    #   separate form lets the mega path SKIP the 228 MB
+                    #   local++halo concat entirely)
+    vals_ref,       # VMEM: [1, G, M, T, T] (pipelined)
+    out_ref,        # VMEM: [1, G*T, F]
+    xw,             # VMEM scratch: [2, (W+H)*T, F]
+    sems,           # DMA semaphores (2,)
+    *, r: int, m_cap: int, ns_tiles: int, h_tiles: int, halo_off: int,
+):
+    bi = pl.program_id(0)
+    si = pl.program_id(1)
+    s_count = pl.num_programs(1)
+    t = TILE
+    w = W_BAND
+
+    def band_dma(slot, sj):
+        base = win_ref[bi * s_count + sj] * t
+        return pltpu.make_async_copy(
+            x_ref.at[bi, pl.ds(base, w * t), :],
+            xw.at[slot, pl.ds(0, w * t), :],
+            sems.at[slot],
+        )
+
+    @pl.when(si == 0)
+    def _():
+        # halo tail: tiny, copied once per batch into BOTH slots
+        if h_tiles:
+            for slot in range(2):
+                c = pltpu.make_async_copy(
+                    xh_ref.at[bi, pl.ds(halo_off, h_tiles * t), :],
+                    xw.at[slot, pl.ds(w * t, h_tiles * t), :],
+                    sems.at[slot],
+                )
+                c.start()
+                c.wait()
+        band_dma(0, 0).start()
+
+    @pl.when(si + 1 < s_count)
+    def _():
+        band_dma((si + 1) % 2, si + 1).start()
+
+    slot = si % 2
+    band_dma(slot, si).wait()
+    base = win_ref[bi * s_count + si]
+    for gi in range(G_BAND):
+        acc = jnp.zeros((t, out_ref.shape[2]), jnp.float32)
+        for mi in range(m_cap):
+            idx = (bi * r + si * G_BAND + gi) * m_cap + mi
+            col = blk_cols_ref[idx]
+            # halo tiles live at window offset W_BAND+; padded slots (col 0,
+            # zero block) clamp anywhere legal
+            rel = jnp.where(col >= ns_tiles, w + (col - ns_tiles), col - base)
+            rel = jnp.clip(rel, 0, w + h_tiles - 1)
+            xt = xw[slot, pl.ds(pl.multiple_of(rel * t, t), t), :]
+            acc = acc + jnp.dot(
+                vals_ref[0, gi, mi].astype(xt.dtype), xt,
+                preferred_element_type=jnp.float32,
+            )
+        out_ref[0, pl.ds(gi * t, t), :] = acc.astype(out_ref.dtype)
+
+
+def bsr_matmul_banded(
+    vals: jax.Array,       # [B, R, M, T, T] from bsr_build_blocks
+    blk_cols: jax.Array,   # i32[B, R, M]
+    win_base: jax.Array,   # i32[B, S]  (S = R // G_BAND), band_window_table
+    x: jax.Array,          # [B, NCx, F]
+    ns_rows: int,          # local rows (halo rows of x start here)
+    halo: jax.Array | None = None,  # [B, H*T, F] halo columns as their own
+                                    #   array — skips the local++halo concat
+) -> jax.Array:
+    """A @ x with G_BAND row tiles per grid step sharing one manually
+    double-buffered column-tile window of x — the slide-scale variant of
+    :func:`bsr_matmul` (that kernel's per-block x DMA is the measured
+    bottleneck at F=1140: M x-tile reads per row tile)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, r, m = blk_cols.shape
+    n, f = x.shape[1], x.shape[2]
+    t = TILE
+    assert r % G_BAND == 0 and ns_rows % t == 0 and n % t == 0
+    s_count = r // G_BAND
+    ns_tiles = ns_rows // t
+    if halo is None:
+        h_tiles = n // t - ns_tiles
+        xh, halo_off = x, ns_tiles * t
+    else:
+        assert n == ns_rows and halo.shape[1] % t == 0
+        h_tiles = halo.shape[1] // t
+        xh, halo_off = halo, 0
+    assert 0 <= h_tiles <= H_BAND_MAX, h_tiles
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(b, s_count),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(
+                (1, G_BAND, m, t, t),
+                lambda bi, si, bc, wn: (bi, si, 0, 0, 0),
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, G_BAND * t, f), lambda bi, si, bc, wn: (bi, si, 0)
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, (W_BAND + h_tiles) * t, f), x.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    itemsize = jnp.dtype(x.dtype).itemsize
+    return pl.pallas_call(
+        functools.partial(
+            _banded_kernel, r=r, m_cap=m, ns_tiles=ns_tiles,
+            h_tiles=h_tiles, halo_off=halo_off,
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, r * t, f), x.dtype),
+        grid_spec=grid_spec,
+        interpret=_INTERPRET,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * r * m * t * t * f,
+            bytes_accessed=(
+                b * r * m * t * t * jnp.dtype(vals.dtype).itemsize
+                + b * s_count * (W_BAND + h_tiles) * t * f * itemsize
+                + b * r * t * f * itemsize
+            ),
+            transcendentals=0,
+        ),
+    )(blk_cols.reshape(-1), win_base.reshape(-1), x, xh, vals)
 
 
 def bsr_gather_sum(

@@ -150,6 +150,11 @@ class ShardedBsrTables:
     blk_cols_t: np.ndarray  # i32[D, RC, MT]
     blk_mask_t: np.ndarray  # f32[D, RC, MT]
     nc: int                 # padded column-space size
+    # banded-window bases (bsr_kernel.band_window_table) per direction, or
+    # None when that direction's band exceeds W_BAND on any shard — the
+    # matvec then uses the streamed kernel instead of the x-window one
+    win_base: np.ndarray | None = None    # i32[D, R // G_BAND]
+    win_base_t: np.ndarray | None = None  # i32[D, RC // G_BAND]
 
 
 def build_bsr_tables(
@@ -175,7 +180,11 @@ def build_bsr_tables(
     if ns % tile != 0:
         return None
     h = d * part.halo_capacity
-    nc = -(-(ns + h) // tile) * tile
+    # column space rounded to G_BAND row tiles so the TRANSPOSE direction's
+    # row count also tiles for the banded-window kernel (its row space = NC)
+    from cgcnet_tpu.ops.pallas.bsr_kernel import G_BAND
+
+    nc = -(-(ns + h) // (tile * G_BAND)) * (tile * G_BAND)
 
     # rectangular transpose of the OFF-DIAGONAL local operator: rows =
     # column space NC. Self slots must be excluded — the forward blocks are
@@ -232,14 +241,47 @@ def build_bsr_tables(
             raise ValueError(f"mt_cap {mt_cap} < required {mt}")
         assert mt_cap <= max_blocks, (mt_cap, max_blocks)
         mt = mt_cap
+    blk_cols = np.stack([mm[0][:, :m] for mm in metas])
+    blk_mask = np.stack([mm[1][:, :m] for mm in metas])
+    blk_cols_t = np.stack([mm[0][:, :mt] for mm in metas_t])
+    blk_mask_t = np.stack([mm[1][:, :mt] for mm in metas_t])
+
+    # banded-window bases per direction: all shards must band (shard_map
+    # needs uniform shapes); the forward's halo column tiles ride in the
+    # window's resident tail, gated at H_BAND_MAX
+    from cgcnet_tpu.ops.pallas.bsr_kernel import (
+        H_BAND_MAX,
+        band_window_table,
+    )
+
+    ns_tiles = ns // tile
+    def _wins(cols, masks, n_col_tiles):
+        outs = []
+        for di in range(d):
+            w = band_window_table(cols[di], masks[di], n_col_tiles)
+            if w is None:
+                return None
+            outs.append(w)
+        return np.stack(outs)
+
+    win_base = (
+        _wins(blk_cols, blk_mask, ns_tiles)
+        if nc // tile - ns_tiles <= H_BAND_MAX
+        else None
+    )
+    # transpose x = the forward's row space (no halo columns)
+    win_base_t = _wins(blk_cols_t, blk_mask_t, ns_tiles)
+
     return ShardedBsrTables(
-        blk_cols=np.stack([mm[0][:, :m] for mm in metas]),
-        blk_mask=np.stack([mm[1][:, :m] for mm in metas]),
+        blk_cols=blk_cols,
+        blk_mask=blk_mask,
         nbr_t=t_idx,
         mask_t=t_mask,
-        blk_cols_t=np.stack([mm[0][:, :mt] for mm in metas_t]),
-        blk_mask_t=np.stack([mm[1][:, :mt] for mm in metas_t]),
+        blk_cols_t=blk_cols_t,
+        blk_mask_t=blk_mask_t,
         nc=nc,
+        win_base=win_base,
+        win_base_t=win_base_t,
     )
 
 

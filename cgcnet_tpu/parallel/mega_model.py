@@ -57,6 +57,17 @@ class MegaInputs:
     mask_t: jax.Array | None = None      # f32[D*NC, KT]
     blk_cols_t: jax.Array | None = None  # i32[D*RC, MT]
     blk_mask_t: jax.Array | None = None  # f32[D*RC, MT]
+    # banded-window bases per direction ((0,)-shaped sentinel = use the
+    # streamed kernel; see bsr_kernel.bsr_matmul_banded)
+    win_base: jax.Array | None = None    # i32[D, R // G_BAND] or [D, 0]
+    win_base_t: jax.Array | None = None  # i32[D, RC // G_BAND] or [D, 0]
+    # block values materialized ONCE per slide (prepare_mega_inputs): the
+    # slide adjacency is constant across train steps, so the per-step build
+    # (2.15 ms at 100k nuclei) and the step-entry relayout copies of the
+    # [NC, KT] transpose ELL tables (2x488 MB at 1M — lane-padding 16->128)
+    # both leave the hot loop. int8: the mega operator is binary.
+    vals: jax.Array | None = None        # i8[D*R, M, T, T]
+    vals_t: jax.Array | None = None      # i8[D*RC, MT, T, T]
 
 
 def prepare_mega_inputs(
@@ -88,6 +99,7 @@ def prepare_mega_inputs(
     extra = {}
     if bsr is not None:
         d = part.num_shards
+        _zero_win = np.zeros((d, 0), np.int32)
         extra = {
             "blk_cols": put(bsr.blk_cols.reshape(-1, bsr.blk_cols.shape[-1])),
             "blk_mask": put(bsr.blk_mask.reshape(-1, bsr.blk_mask.shape[-1])),
@@ -99,7 +111,56 @@ def prepare_mega_inputs(
             "blk_mask_t": put(
                 bsr.blk_mask_t.reshape(-1, bsr.blk_mask_t.shape[-1])
             ),
+            # (D, 0) sentinel = direction not banded (streamed kernel)
+            "win_base": put(
+                bsr.win_base if getattr(bsr, "win_base", None) is not None
+                else _zero_win
+            ),
+            "win_base_t": put(
+                bsr.win_base_t
+                if getattr(bsr, "win_base_t", None) is not None
+                else _zero_win
+            ),
         }
+
+        # materialize the block values ONCE per slide — see MegaInputs.vals
+        from cgcnet_tpu.ops.pallas import bsr_kernel as _bk
+
+        def _build_shard(nbr_remap, nbr_mask, blk_cols, blk_mask,
+                         nbr_t, mask_t, blk_cols_t, blk_mask_t):
+            ns = nbr_remap.shape[0]
+            row = jnp.arange(ns)
+            off = nbr_mask * (nbr_remap != row[:, None]).astype(
+                nbr_mask.dtype
+            )
+            v = _bk.bsr_build_blocks(
+                nbr_remap[None], off[None], blk_cols[None], blk_mask[None],
+                jnp.int8,
+            )
+            vt = _bk.bsr_build_blocks(
+                nbr_t[None], mask_t[None], blk_cols_t[None],
+                blk_mask_t[None], jnp.int8,
+            )
+            return v[0], vt[0]
+
+        was_interp = _bk._INTERPRET
+        _bk.set_interpret(was_interp or jax.default_backend() != "tpu")
+        try:
+            vals, vals_t = jax.shard_map(
+                _build_shard, mesh=mesh,
+                in_specs=(P("graph"),) * 8,
+                out_specs=(P("graph"), P("graph")),
+                check_vma=False,  # pallas_call outputs carry no vma info
+            )(
+                put(part.nbr_remap.reshape(nn, k)),
+                put(part.nbr_mask.reshape(nn, k)),
+                extra["blk_cols"], extra["blk_mask"],
+                extra["nbr_t"], extra["mask_t"],
+                extra["blk_cols_t"], extra["blk_mask_t"],
+            )
+        finally:
+            _bk.set_interpret(was_interp)
+        extra["vals"], extra["vals_t"] = vals, vals_t
     return MegaInputs(
         x=put(x),
         nbr_remap=put(part.nbr_remap.reshape(nn, k)),
@@ -486,15 +547,28 @@ class _ShardedAdj:
         # stage-1 matvecs then run the gather-free Pallas MXU kernel
         self.bsr = inputs.blk_cols is not None
         if self.bsr:
-            from cgcnet_tpu.ops.pallas.bsr_kernel import bsr_build_blocks
-            self.vals = bsr_build_blocks(
-                inputs.nbr_remap[None], self.off_mask[None],
-                inputs.blk_cols[None], inputs.blk_mask[None], dt,
-            )
-            self.vals_t = bsr_build_blocks(
-                inputs.nbr_t[None], inputs.mask_t[None],
-                inputs.blk_cols_t[None], inputs.blk_mask_t[None], dt,
-            )
+            # mega-path block values are BINARY (off_mask is a 0/1 edge
+            # mask; norm_adj scale/self-loops apply OUTSIDE the matvec), so
+            # int8 storage is exact and halves the dominant per-leg vals
+            # DMA (231 MB/leg bf16 at 100k nuclei — roofline_r3.md §4); the
+            # matmul kernels convert to the compute dtype at use.
+            # prepare_mega_inputs materializes them once per slide; the
+            # in-step build below only serves hand-built MegaInputs (tests)
+            if inputs.vals is not None:
+                self.vals = inputs.vals[None]
+                self.vals_t = inputs.vals_t[None]
+            else:
+                from cgcnet_tpu.ops.pallas.bsr_kernel import bsr_build_blocks
+
+                self.vals = bsr_build_blocks(
+                    inputs.nbr_remap[None], self.off_mask[None],
+                    inputs.blk_cols[None], inputs.blk_mask[None], jnp.int8,
+                )
+                self.vals_t = bsr_build_blocks(
+                    inputs.nbr_t[None], inputs.mask_t[None],
+                    inputs.blk_cols_t[None], inputs.blk_mask_t[None],
+                    jnp.int8,
+                )
         if cfg.norm_adj:
             p = cfg.self_weight
             self.scale = ((1.0 - p) / (deg + EPS) * inputs.valid).astype(dt)
@@ -532,16 +606,31 @@ class _ShardedAdj:
         if self.bsr:
             from cgcnet_tpu.ops.ell import bsr_local_matmul
 
-            xx = self.concat_halo(h)
+            # halo rows as their own (tiny) array, zero-padded to the
+            # column-space tail — the banded kernel reads (h, halo)
+            # separately so the S-sized local++halo concat never happens
+            halo = _halo_exchange(
+                h, self.inp.req_idx, self.inp.req_mask, self.axis
+            )
             nc = self.inp.nbr_t.shape[0]
-            if xx.shape[0] < nc:
-                xx = jnp.concatenate(
-                    [xx, jnp.zeros((nc - xx.shape[0], xx.shape[1]), xx.dtype)],
-                    0,
+            hp = nc - h.shape[0] - halo.shape[0]
+            if hp:
+                halo = jnp.concatenate(
+                    [halo, jnp.zeros((hp, halo.shape[1]), halo.dtype)], 0
                 )
+            win = (
+                self.inp.win_base.reshape(1, -1)
+                if self.inp.win_base is not None
+                else jnp.zeros((1, 0), jnp.int32)
+            )
+            win_t = (
+                self.inp.win_base_t.reshape(1, -1)
+                if self.inp.win_base_t is not None
+                else jnp.zeros((1, 0), jnp.int32)
+            )
             agg = bsr_local_matmul(
-                self.vals, self.inp.blk_cols[None],
-                self.vals_t, self.inp.blk_cols_t[None], xx,
+                self.vals, self.inp.blk_cols[None], win,
+                self.vals_t, self.inp.blk_cols_t[None], win_t, h, halo,
             )
             return self.scale[:, None] * agg + self.self_w[:, None] * h
         if self.overlap:
@@ -756,13 +845,16 @@ def mega_forward(
                 ) * valid[:, None]
                 s_t = s.T
             a_s = adj(s)                                         # [Ns, d1]
-            # both DiffPool contractions ride ONE [d1, Ns] @ [Ns, F+d1]
-            # matmul and ONE psum (nn/blocks._contract_dual_pair's trick)
-            both = jax.lax.psum(
-                s_t @ jnp.concatenate([pembed, a_s], -1), axis
+            # TWO dots + one (tree) psum. The patch path fuses these into
+            # one [d1, Ns] @ [Ns, F+d1] matmul (_contract_dual_pair) to
+            # amortize the s_t pass through VMEM; at slide scale the
+            # [Ns, F+d1] concat is a full S-sized HBM round trip forward
+            # (1.5 ms in the r4 profile) plus a split pass backward, which
+            # costs MORE than re-streaming s_t for the second dot.
+            x_pool, adj_pool = jax.lax.psum(
+                (s_t @ pembed, s_t @ a_s), axis
             )
-            f_emb = pembed.shape[-1]
-            return both[:, :f_emb], both[:, f_emb:], so
+            return x_pool, adj_pool, so
 
         if remat:
             # the [Ns, d1]-class tensors (assign logits, S, A@S) dominate

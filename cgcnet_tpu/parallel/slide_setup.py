@@ -145,7 +145,12 @@ def build_slide_inputs(cfg, feats, coords, shards, mesh,
     feats, coords = feats[order], coords[order]
     x = (np.concatenate([feats, coords], -1) - mean) / std
 
-    cap = -(-n // (128 * shards)) * (128 * shards)
+    # per-shard rows rounded to G_BAND row tiles (4*128) so the banded
+    # x-window BSR kernel applies (bsr_kernel.band_window_table contract)
+    from cgcnet_tpu.ops.pallas.bsr_kernel import G_BAND
+
+    q = 128 * G_BAND * shards
+    cap = -(-n // q) * q
     xp = np.zeros((cap, x.shape[1]), np.float32)
     xp[:n] = x
 

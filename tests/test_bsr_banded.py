@@ -1,0 +1,93 @@
+"""Banded x-window BSR kernel (bsr_matmul_banded) vs the streamed kernel.
+
+The streamed large-F kernel re-DMAs each x column tile once per (row tile,
+block slot) — the measured 2.8 ms/leg A@S bottleneck at slide scale
+(benchmarks/roofline_r3.md §4, r4 profile). The banded kernel shares one
+contiguous column-tile window across G_BAND row tiles; these tests pin its
+numerics to the streamed kernel on synthetic band-limited operators.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from cgcnet_tpu.ops.pallas import bsr_kernel as bk
+
+T = bk.TILE
+
+
+@pytest.fixture(autouse=True)
+def _interp():
+    bk.set_interpret(True)
+    yield
+    bk.set_interpret(False)
+
+
+def make_banded(rng, r=16, m=4, ns_tiles=16, halo_every=5):
+    """Random band-limited block structure with occasional halo columns."""
+    blk_cols = np.zeros((1, r, m), np.int32)
+    blk_mask = np.zeros((1, r, m), np.float32)
+    for ri in range(r):
+        lo, hi = max(0, ri - 2), min(ns_tiles - 1, ri + 1)
+        cand = list(range(lo, hi + 1))
+        nreal = int(rng.integers(1, min(m, len(cand)) + 1))
+        cols = sorted(rng.choice(cand, size=nreal, replace=False).tolist())
+        if halo_every and ri % halo_every == 0 and nreal < m:
+            cols, nreal = cols + [ns_tiles], nreal + 1
+        blk_cols[0, ri, :nreal] = cols
+        blk_mask[0, ri, :nreal] = 1.0
+    vals = (
+        rng.normal(size=(1, r, m, T, T)).astype(np.float32)
+        * blk_mask[..., None, None]
+    )
+    return blk_cols, blk_mask, vals
+
+
+@pytest.mark.parametrize("dtype", [np.float32, np.int8])
+def test_banded_matches_streamed(rng, dtype):
+    blk_cols, blk_mask, vals = make_banded(rng)
+    ns_tiles, h_tiles, f = 16, 1, 70
+    if dtype == np.int8:
+        vals = (vals > 0.5).astype(np.int8)
+    x = rng.normal(size=(1, (ns_tiles + h_tiles) * T, f)).astype(np.float32)
+    win = bk.band_window_table(blk_cols[0], blk_mask[0], ns_tiles)
+    assert win is not None
+    ref = bk.bsr_matmul(jnp.asarray(vals), jnp.asarray(blk_cols),
+                        jnp.asarray(x))
+    out = bk.bsr_matmul_banded(
+        jnp.asarray(vals), jnp.asarray(blk_cols), jnp.asarray(win)[None],
+        jnp.asarray(x), ns_rows=ns_tiles * T,
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_banded_separate_halo_matches_concat(rng):
+    """halo= as its own array == the same rows concatenated into x."""
+    blk_cols, blk_mask, vals = make_banded(rng)
+    ns_tiles, h_tiles, f = 16, 1, 36
+    x = rng.normal(size=(1, ns_tiles * T, f)).astype(np.float32)
+    halo = rng.normal(size=(1, h_tiles * T, f)).astype(np.float32)
+    win = bk.band_window_table(blk_cols[0], blk_mask[0], ns_tiles)
+    xx = np.concatenate([x, halo], axis=1)
+    ref = bk.bsr_matmul_banded(
+        jnp.asarray(vals), jnp.asarray(blk_cols), jnp.asarray(win)[None],
+        jnp.asarray(xx), ns_rows=ns_tiles * T,
+    )
+    out = bk.bsr_matmul_banded(
+        jnp.asarray(vals), jnp.asarray(blk_cols), jnp.asarray(win)[None],
+        jnp.asarray(x), ns_rows=ns_tiles * T, halo=jnp.asarray(halo),
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=0)
+
+
+def test_window_table_rejects_wide_band(rng):
+    """A row-tile group whose columns span more than W_BAND tiles must
+    return None (caller falls back to the streamed kernel)."""
+    blk_cols, blk_mask, _ = make_banded(rng, r=16, ns_tiles=32)
+    blk_cols[0, 0, 0], blk_cols[0, 0, 1] = 0, 31  # span 32 > W_BAND
+    blk_mask[0, 0, :2] = 1.0
+    assert bk.band_window_table(blk_cols[0], blk_mask[0], 32) is None
+    # non-G_BAND-divisible row counts are also rejected
+    assert bk.band_window_table(blk_cols[0, :15], blk_mask[0, :15], 32) is None
