@@ -238,9 +238,14 @@ def bsr_local_matmul(
     ``halo`` as separate arrays, so the [NC, F] concat — a full S-sized
     HBM round trip at slide scale, 0.9 ms in the r4 profile — never
     materializes on that path."""
-    from cgcnet_tpu.ops.pallas.bsr_kernel import bsr_matmul, bsr_matmul_banded
+    from cgcnet_tpu.ops.pallas.bsr_kernel import (
+        BAND_MIN_F, bsr_matmul, bsr_matmul_banded,
+    )
 
-    if win.shape[-1]:
+    if win.shape[-1] and h.shape[-1] >= BAND_MIN_F:
+        # wide F only: the banded window cuts x traffic (the F=1140 A@S
+        # cost); narrow legs are vals-DMA-bound and would pay the window
+        # kernel's internal lane-pad of x for nothing
         return bsr_matmul_banded(
             vals, blk_cols, win, h[None], ns_rows=h.shape[0],
             halo=halo[None],
@@ -257,10 +262,12 @@ def _bsr_local_fwd(vals, blk_cols, win, vals_t, blk_cols_t, win_t, h, halo):
 
 
 def _bsr_local_bwd(res, g):
-    from cgcnet_tpu.ops.pallas.bsr_kernel import bsr_matmul, bsr_matmul_banded
+    from cgcnet_tpu.ops.pallas.bsr_kernel import (
+        BAND_MIN_F, bsr_matmul, bsr_matmul_banded,
+    )
 
     vals, blk_cols, win, vals_t, blk_cols_t, win_t, ns = res
-    if win_t.shape[-1]:
+    if win_t.shape[-1] and g.shape[-1] >= BAND_MIN_F:
         # transpose x = the forward's row space: no halo column tiles
         d_xx = bsr_matmul_banded(
             vals_t, blk_cols_t, win_t, g[None], ns_rows=g.shape[0]

@@ -511,6 +511,9 @@ W_BAND = 16       # contiguous column-tile window per grid step (the 100k
                   # spatially-sorted slide's worst 4-tile-group span is
                   # exactly 16; 12 rejected 193/196 super tiles)
 H_BAND_MAX = 4    # max halo column tiles resident in the window tail
+BAND_MIN_F = 512  # dispatch floor: below this the leg is vals-DMA-bound
+                  # (the window cuts x traffic only) and the kernel's
+                  # internal lane-pad of x would be pure overhead
 
 
 def band_window_table(
@@ -592,7 +595,10 @@ def _banded_kernel(
     band_dma(slot, si).wait()
     base = win_ref[bi * s_count + si]
     for gi in range(G_BAND):
-        acc = jnp.zeros((t, out_ref.shape[2]), jnp.float32)
+        # accumulate at the lane-padded window width; the store below drops
+        # the pad lanes (vector-level slice — BlockSpec outputs handle
+        # non-128-multiple minor dims, manual DMAs do not)
+        acc = jnp.zeros((t, xw.shape[2]), jnp.float32)
         for mi in range(m_cap):
             idx = (bi * r + si * G_BAND + gi) * m_cap + mi
             col = blk_cols_ref[idx]
@@ -605,7 +611,9 @@ def _banded_kernel(
                 vals_ref[0, gi, mi].astype(xt.dtype), xt,
                 preferred_element_type=jnp.float32,
             )
-        out_ref[0, pl.ds(gi * t, t), :] = acc.astype(out_ref.dtype)
+        out_ref[0, pl.ds(gi * t, t), :] = (
+            acc[:, : out_ref.shape[2]].astype(out_ref.dtype)
+        )
 
 
 def bsr_matmul_banded(
@@ -620,7 +628,16 @@ def bsr_matmul_banded(
     """A @ x with G_BAND row tiles per grid step sharing one manually
     double-buffered column-tile window of x — the slide-scale variant of
     :func:`bsr_matmul` (that kernel's per-block x DMA is the measured
-    bottleneck at F=1140: M x-tile reads per row tile)."""
+    bottleneck at F=1140: M x-tile reads per row tile).
+
+    F is lane-padded to a 128 multiple internally: Mosaic's manual-DMA
+    ``memref_slice`` requires the minor dim aligned to the (8,128) tiling
+    in EVERY memory space ("Slice shape along dimension 2 must be aligned
+    to tiling (128)") — only BlockSpec-pipelined operands tolerate
+    unaligned minors. The pad is one extra HBM round trip of x per call
+    (~1% bytes at F=1140→1152), which is why the dispatch in
+    ops/ell.py:bsr_local_matmul only routes F >= BAND_MIN_F legs here —
+    narrow-F legs are vals-DMA-bound and the window buys them nothing."""
     from jax.experimental.pallas import tpu as pltpu
 
     b, r, m = blk_cols.shape
@@ -629,6 +646,11 @@ def bsr_matmul_banded(
     assert r % G_BAND == 0 and ns_rows % t == 0 and n % t == 0
     s_count = r // G_BAND
     ns_tiles = ns_rows // t
+    f_pad = -(-f // 128) * 128
+    if f_pad != f:
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, f_pad - f)))
+        if halo is not None:
+            halo = jnp.pad(halo, ((0, 0), (0, 0), (0, f_pad - f)))
     if halo is None:
         h_tiles = n // t - ns_tiles
         xh, halo_off = x, ns_tiles * t
@@ -641,8 +663,12 @@ def bsr_matmul_banded(
         num_scalar_prefetch=2,
         grid=(b, s_count),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            # HBM, not ANY: the kernel's manual band/halo DMAs assume HBM
+            # sources (an ANY-spaced small operand can be promoted to VMEM,
+            # changing the copy's legality constraints); validated on
+            # hardware with the lane-padded operands above.
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
             pl.BlockSpec(
                 (1, G_BAND, m, t, t),
                 lambda bi, si, bc, wn: (bi, si, 0, 0, 0),
@@ -652,7 +678,7 @@ def bsr_matmul_banded(
             (1, G_BAND * t, f), lambda bi, si, bc, wn: (bi, si, 0)
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, (W_BAND + h_tiles) * t, f), x.dtype),
+            pltpu.VMEM((2, (W_BAND + h_tiles) * t, f_pad), x.dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
@@ -666,10 +692,10 @@ def bsr_matmul_banded(
         grid_spec=grid_spec,
         interpret=_INTERPRET,
         cost_estimate=pl.CostEstimate(
-            flops=2 * b * r * m * t * t * f,
+            flops=2 * b * r * m * t * t * f_pad,
             bytes_accessed=(
                 b * r * m * t * t * jnp.dtype(vals.dtype).itemsize
-                + b * s_count * (W_BAND + h_tiles) * t * f * itemsize
+                + b * s_count * (W_BAND + h_tiles) * t * f_pad * itemsize
                 + b * r * t * f * itemsize
             ),
             transcendentals=0,

@@ -60,7 +60,11 @@ def test_banded_matches_streamed(rng, dtype):
         jnp.asarray(vals), jnp.asarray(blk_cols), jnp.asarray(win)[None],
         jnp.asarray(x), ns_rows=ns_tiles * T,
     )
-    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+    # atol: the banded kernel is bit-exact vs a numpy per-block oracle; the
+    # STREAMED reference carries ~4e-5 f32 reassociation drift (its dot
+    # shapes differ from the banded kernel's lane-padded ones, so XLA
+    # accumulates in a different order). |out| ~ 35 here.
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4)
 
 
 def test_banded_separate_halo_matches_concat(rng):
