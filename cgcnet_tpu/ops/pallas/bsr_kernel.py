@@ -509,7 +509,19 @@ _RESIDENT_LIMIT = 4 * 1024 * 1024
 G_BAND = 4        # row tiles per grid step (capacities padded to 4*128)
 W_BAND = 16       # contiguous column-tile window per grid step (the 100k
                   # spatially-sorted slide's worst 4-tile-group span is
-                  # exactly 16; 12 rejected 193/196 super tiles)
+                  # exactly 16; 12 rejected 193/196 super tiles).
+                  # Applicability boundary: a group's span grows with the
+                  # x-strip population (~sqrt(N) at fixed density) — windows
+                  # fit to ~150-200k nuclei per shard at reference density
+                  # (600k measured rejected: benchmarks/shard_scale_r4.json)
+                  # and band_window_table then returns None, falling the
+                  # wide-F legs back to the streamed kernel. Widening W is
+                  # VMEM-bound: at F=1152 bf16 the double-buffered window is
+                  # ~590 KB per (W+h) tile, so W=16 is the ~16 MB/core
+                  # ceiling; a single-buffered W~32 variant would only serve
+                  # the 300-700k single-shard band (multi-shard halo tails
+                  # outgrow the resident cap below first) — not worth the
+                  # second kernel.
 H_BAND_MAX = 4    # max halo column tiles resident in the window tail
 BAND_MIN_F = 512  # dispatch floor: below this the leg is vals-DMA-bound
                   # (the window cuts x traffic only) and the kernel's
