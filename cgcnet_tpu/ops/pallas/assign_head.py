@@ -796,6 +796,225 @@ def _atc_bwd(eps, axis, chunk_rows, res, cts):
 assign_tail_train_chunked.defvjp(_atc_fwd, _atc_bwd)
 
 
+# ---------------------------------------------------------------------------
+# Pre-lin chunked tail — the conv3 lin absorbed into the chunk loops.
+#
+# The chunked tail above still takes p = x3 @ kc3 (+ b3) as a MATERIALIZED
+# [B, N, C] operand: at 1M nuclei that is a 2.15 GB forward residual, its
+# remat-compressed copy, and a 2.15 GB dp output assembled in the backward —
+# three of the seven S-class allocations in the measured 18.71 GB OOM
+# (slide_1m r4, benchmarks/slide_step_r4.json). This variant takes the lin
+# INPUT x3 [B, N, F3] (F3 = 3*hidden = 60 — 19x narrower) plus the lin
+# parameters, and computes p chunk-wise inside every loop that needs it, so
+# no [N, C]-class tensor for the conv3 stream ever materializes, forward or
+# backward; dp exists only per chunk, immediately contracted to
+# dx3 = dp @ kc3^T, dkc3 += x3^T dp, db3 += rowsum(dp).
+#
+# Cost: the p matmul re-runs once per pass (stats, S, phase A, phase B) —
+# k=F3 dots are MXU pass-granularity-bound, ~9.6 ms/pass at 1M — paid only
+# on the capacity path where HBM is the binding constraint. Numerics: the
+# chunk lin is the same bf16 dot XLA runs unfused (f32 accumulation,
+# bf16 round at the output); parity pinned by tests/test_assign_head.py.
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(11, 12, 13))
+def assign_tail_train_chunked_lin(
+    x12, x3, kc3, b3, k12, k3, lin_bias, bn_scale, bn_bias, mask, n,
+    eps: float = 1e-5, axis: str | None = None, chunk_rows: int = 65536,
+):
+    """``assign_tail_train_chunked`` with conv3's lin fused into the chunk
+    loops: ``p`` is computed per chunk from ``x3`` [B, N, F3] and the lin
+    parameters ``kc3`` [F3, C] / ``b3`` [C] and never materializes at
+    [B, N, C]. Returns the same (S, S^T, mean, var)."""
+    s, _, mean, var, _, _ = _atcl_fwd_impl(
+        x12, x3, kc3, b3, k12, k3, lin_bias, bn_scale, bn_bias, mask, n,
+        eps, axis, chunk_rows,
+    )
+    return s, jnp.swapaxes(s, 1, 2), mean, var
+
+
+def _chunk_plan(nrows: int, chunk_rows: int):
+    ch = min(chunk_rows, nrows)
+    assert ch % TILE == 0 and nrows % TILE == 0, (nrows, ch)
+    nfull = nrows // ch
+    return ch, nfull, nrows - nfull * ch
+
+
+def _atcl_fwd_impl(x12, x3, kc3, b3, k12, k3, lin_bias, bn_scale, bn_bias,
+                   mask, n, eps, axis, chunk_rows):
+    b, nrows, _ = x3.shape
+    c = kc3.shape[1]
+    ch, nfull, rem = _chunk_plan(nrows, chunk_rows)
+    dt = x3.dtype
+
+    def p_of(lo, size):
+        x3c = jax.lax.dynamic_slice_in_dim(x3, lo, size, 1)
+        return (
+            x3c @ kc3.astype(dt) + b3.astype(dt)[None, None, :]
+        ), x3c
+
+    # ---- pass 1: BN statistics, chunk by chunk ----
+    def acc_s(carry, lo, size):
+        su, sq = carry
+        pc, _ = p_of(lo, size)
+        mc = jax.lax.dynamic_slice_in_dim(mask, lo, size, 1)
+        du, dq = _stats_call(pc, mc)
+        return su + du, sq + dq
+
+    carry = (jnp.zeros((c,), jnp.float32), jnp.zeros((c,), jnp.float32))
+    carry = jax.lax.fori_loop(
+        0, nfull, lambda ci, cr: acc_s(cr, ci * ch, ch), carry
+    )
+    if rem:
+        carry = acc_s(carry, nfull * ch, rem)
+    ssum, ssq = carry
+    if axis is not None:
+        ssum = jax.lax.psum(ssum, axis)
+        ssq = jax.lax.psum(ssq, axis)
+    k3f, const, mean, var = _tail_algebra(
+        ssum, ssq, k3, lin_bias, bn_scale, bn_bias, n, eps
+    )
+
+    # ---- pass 2: S, chunk by chunk into one output buffer ----
+    def emit_s(s_acc, lo, size):
+        pc, _ = p_of(lo, size)
+        xc = jax.lax.dynamic_slice_in_dim(x12, lo, size, 1)
+        mc = jax.lax.dynamic_slice_in_dim(mask, lo, size, 1)
+        sc, _ = _fwd_call_pre(xc, pc, k12, k3f, const, mc)
+        return jax.lax.dynamic_update_slice_in_dim(s_acc, sc, lo, 1)
+
+    s = jnp.zeros((b, nrows, c), dt)
+    s = jax.lax.fori_loop(
+        0, nfull, lambda ci, acc: emit_s(acc, ci * ch, ch), s
+    )
+    if rem:
+        s = emit_s(s, nfull * ch, rem)
+    return s, None, mean, var, (k3f, const), (ssum, ssq)
+
+
+def _atcl_fwd(x12, x3, kc3, b3, k12, k3, lin_bias, bn_scale, bn_bias,
+              mask, n, eps, axis, chunk_rows):
+    s, _, mean, var, (k3f, const), (ssum, ssq) = _atcl_fwd_impl(
+        x12, x3, kc3, b3, k12, k3, lin_bias, bn_scale, bn_bias, mask, n,
+        eps, axis, chunk_rows,
+    )
+    # NO p and NO s in the residuals — both recomputed chunk-locally
+    res = (x12, x3, kc3, b3, k12, k3f, const, mask, ssum, ssq, k3,
+           lin_bias, bn_scale, bn_bias, n)
+    return (s, jnp.swapaxes(s, 1, 2), mean, var), res
+
+
+def _atcl_bwd(eps, axis, chunk_rows, res, cts):
+    (x12, x3, kc3, b3, k12, k3f, const, mask, ssum, ssq, k3,
+     lin_bias, bn_scale, bn_bias, n) = res
+    ds, ds_t, dmean, dvar = cts
+    b, nrows, f3 = x3.shape
+    c = kc3.shape[1]
+    f12 = x12.shape[-1]
+    ch, nfull, rem = _chunk_plan(nrows, chunk_rows)
+    dt = x3.dtype
+
+    def dl_of(lo, size):
+        """Chunk-local recompute: p from the lin, S from the same kernel
+        (bit-identical), then the masked-softmax cotangent fold."""
+        x3c = jax.lax.dynamic_slice_in_dim(x3, lo, size, 1)
+        pc = x3c @ kc3.astype(dt) + b3.astype(dt)[None, None, :]
+        xc = jax.lax.dynamic_slice_in_dim(x12, lo, size, 1)
+        mc = jax.lax.dynamic_slice_in_dim(mask, lo, size, 1)
+        dsc = jax.lax.dynamic_slice_in_dim(ds, lo, size, 1)
+        dstc = jax.lax.dynamic_slice_in_dim(ds_t, lo, size, 2)
+        sc, _ = _fwd_call_pre(xc, pc, k12, k3f, const, mc)
+        g = dsc + jnp.swapaxes(dstc, 1, 2)
+        gf = g.astype(jnp.float32)
+        sf = sc.astype(jnp.float32)
+        dl32 = sf * (gf - jnp.sum(gf * sf, axis=-1, keepdims=True))
+        return xc, x3c, pc, mc, dl32, dl32.astype(sc.dtype)
+
+    # ---- phase A: [C]-class reductions ----
+    def acc_a(carry, lo, size):
+        dk12a, dk3fa, dconsta = carry
+        xc, x3c, pc, mc, dl32, dl = dl_of(lo, size)
+        dk12a = dk12a + jnp.einsum(
+            "bnf,bnc->fc", xc, dl, preferred_element_type=jnp.float32
+        )
+        pf = pc.astype(jnp.float32)
+        _, h32 = _rnorm_h(pf)
+        hc = (h32 * mc[..., None].astype(jnp.float32)).astype(dt)
+        dk3fa = dk3fa + jnp.einsum(
+            "bnc,bnd->cd", hc, dl, preferred_element_type=jnp.float32
+        )
+        dconsta = dconsta + jnp.sum(dl32, axis=(0, 1))
+        return dk12a, dk3fa, dconsta
+
+    carry_a = (
+        jnp.zeros((f12, c), jnp.float32),
+        jnp.zeros((c, c), jnp.float32),
+        jnp.zeros((c,), jnp.float32),
+    )
+    carry_a = jax.lax.fori_loop(
+        0, nfull, lambda ci, cr: acc_a(cr, ci * ch, ch), carry_a
+    )
+    if rem:
+        carry_a = acc_a(carry_a, nfull * ch, rem)
+    dk12, dk3f, dconst = carry_a
+
+    _, alg_vjp = jax.vjp(
+        lambda su, sq, kk, lb, bs, bb: _tail_algebra(
+            su, sq, kk, lb, bs, bb, n, eps
+        ),
+        ssum, ssq, k3, lin_bias, bn_scale, bn_bias,
+    )
+    if axis is not None:
+        dk3f_g = jax.lax.psum(dk3f, axis)
+        dconst_g = jax.lax.psum(dconst, axis)
+        dssum_g, dssq_g, _, _, _, _ = alg_vjp(
+            (dk3f_g, dconst_g, dmean, dvar)
+        )
+        _, _, dk3, dlin_bias, dbn_scale, dbn_bias = alg_vjp(
+            (dk3f, dconst, jnp.zeros_like(dmean), jnp.zeros_like(dvar))
+        )
+    else:
+        dssum_g, dssq_g, dk3, dlin_bias, dbn_scale, dbn_bias = alg_vjp(
+            (dk3f, dconst, dmean, dvar)
+        )
+
+    # ---- phase B: row grads; dp exists only per chunk ----
+    def upd_b(carry, lo, size):
+        dx12a, dx3a, dkc3a, db3a = carry
+        xc, x3c, pc, mc, dl32, dl = dl_of(lo, size)
+        dh = dl @ k3f.astype(dl.dtype).T
+        dpc = _bwd_call(pc, dh, dssum_g, dssq_g, mc)
+        dxc = (dl @ k12.astype(dl.dtype).T).astype(dx12a.dtype)
+        dx3c = (dpc @ kc3.astype(dpc.dtype).T).astype(dx3a.dtype)
+        dkc3a = dkc3a + jnp.einsum(
+            "bnf,bnc->fc", x3c, dpc, preferred_element_type=jnp.float32
+        )
+        db3a = db3a + jnp.sum(dpc.astype(jnp.float32), axis=(0, 1))
+        dx12a = jax.lax.dynamic_update_slice_in_dim(dx12a, dxc, lo, 1)
+        dx3a = jax.lax.dynamic_update_slice_in_dim(dx3a, dx3c, lo, 1)
+        return dx12a, dx3a, dkc3a, db3a
+
+    carry_b = (
+        jnp.zeros_like(x12), jnp.zeros_like(x3),
+        jnp.zeros((f3, c), jnp.float32), jnp.zeros((c,), jnp.float32),
+    )
+    carry_b = jax.lax.fori_loop(
+        0, nfull, lambda ci, cr: upd_b(cr, ci * ch, ch), carry_b
+    )
+    if rem:
+        carry_b = upd_b(carry_b, nfull * ch, rem)
+    dx12, dx3, dkc3, db3 = carry_b
+    return (
+        dx12, dx3, dkc3.astype(kc3.dtype), db3.astype(b3.dtype),
+        dk12.astype(k12.dtype), dk3, dlin_bias, dbn_scale, dbn_bias,
+        jnp.zeros_like(mask), jnp.zeros_like(n),
+    )
+
+
+assign_tail_train_chunked_lin.defvjp(_atcl_fwd, _atcl_bwd)
+
+
 def _ah_bwd(res, cts):
     x12, h3a, k12, k3f, s, mask = res
     ds, ds_t = cts

@@ -185,6 +185,53 @@ def _linear(p, h):
     return out
 
 
+def _chunked_pool_contract(s, pembed, a_s, chunk: int):
+    """(S^T pembed, S^T A S) with a row-chunked, remat'd accumulation loop.
+
+    The direct einsum pair's backward materializes THREE [N, C]-class ds
+    contributions plus their sum simultaneously (the pembed-product's, the
+    a_s-product's, and — outside this function — the A@S leg's): four of
+    the seven S-class allocations in the measured 18.71 GB 1M-nuclei OOM
+    (benchmarks/slide_step_r4.json). Chunking the contraction through a
+    ``jax.checkpoint``-ed fori_loop body makes reverse-mode (a) recompute
+    the chunk slices instead of stacking per-iteration residuals, and
+    (b) accumulate ds/d a_s into ONE buffer each via the dynamic-slice
+    transpose — bounding the backward working set to s + a_s + 2
+    accumulators + chunk temporaries. Forward cost: identical FLOPs, one
+    extra chunk-loop recompute of the two einsums in the backward."""
+    n = s.shape[0]
+    ch = min(chunk, n)
+    nfull, rem = n // ch, n - (n // ch) * ch
+
+    def body(carry, lo, size):
+        xp, ap = carry
+        sc = jax.lax.dynamic_slice_in_dim(s, lo, size, 0)
+        xc = jax.lax.dynamic_slice_in_dim(pembed, lo, size, 0)
+        ac = jax.lax.dynamic_slice_in_dim(a_s, lo, size, 0)
+        # f32 accumulators: chunk partials round once at the end instead of
+        # once per chunk (the [C, F]/[C, C] carries are KB-class)
+        return (
+            xp + jnp.einsum(
+                "nc,nf->cf", sc, xc, preferred_element_type=jnp.float32
+            ),
+            ap + jnp.einsum(
+                "nc,nd->cd", sc, ac, preferred_element_type=jnp.float32
+            ),
+        )
+
+    body_ck = jax.checkpoint(body, static_argnums=(2,))
+    init = (
+        jnp.zeros((s.shape[1], pembed.shape[1]), jnp.float32),
+        jnp.zeros((s.shape[1], a_s.shape[1]), jnp.float32),
+    )
+    out = jax.lax.fori_loop(
+        0, nfull, lambda ci, cr: body_ck(cr, ci * ch, ch), init
+    )
+    if rem:
+        out = body_ck(out, nfull * ch, rem)
+    return out[0].astype(s.dtype), out[1].astype(s.dtype)
+
+
 def _act(name):
     from cgcnet_tpu.nn.layers import activation
 
@@ -773,11 +820,16 @@ def mega_forward(
 
                 dt = pembed.dtype
                 denom = jnp.clip(adj.rowsum(), min=1.0)[:, None].astype(dt)
-                # conv3 RAW lin output (pre-normalize/mask/act) — the
-                # kernel recomputes l2norm+relu in VMEM (_rnorm_h)
-                p_raw = _linear(
-                    pool_params["gcn3"]["lin"], agg3_p / denom
+                x3 = agg3_p / denom
+                ch = (
+                    ah.pick_chunk(x3.shape[0], cfg.assign_tail_chunk)
+                    if cfg.assign_tail_chunk else 0
                 )
+                if not (train and ch):
+                    # conv3 RAW lin output (pre-normalize/mask/act) — the
+                    # kernel recomputes l2norm+relu in VMEM (_rnorm_h). The
+                    # capacity path never materializes it (see below).
+                    p_raw = _linear(pool_params["gcn3"]["lin"], x3)
                 x12 = jnp.concatenate(p12, -1)
                 k = pool_params["lin"]["kernel"]
                 split = x12.shape[-1]
@@ -790,16 +842,19 @@ def mega_forward(
                     n_glob = jax.lax.psum(
                         jnp.sum(valid.astype(jnp.float32)), axis
                     )
-                    ch = (
-                        ah.pick_chunk(p_raw.shape[0], cfg.assign_tail_chunk)
-                        if cfg.assign_tail_chunk else 0
-                    )
                     if ch:
                         # slide-capacity path: chunked-recompute backward
-                        # bounds the tail's working set (1M nuclei OOM'd
-                        # the plain backward — slide_scale_r3.json)
-                        s, s_t, mean, var = ah.assign_tail_train_chunked(
-                            x12[None], p_raw[None], k12, k3, lin_bias,
+                        # with conv3's lin ABSORBED into the chunk loops —
+                        # no [N, 1140]-class p residual, remat-compressed
+                        # copy, or assembled dp exists at any point
+                        # (three of the seven S-class allocations in the
+                        # 18.71 GB 1M OOM, benchmarks/slide_step_r4.json)
+                        gl = pool_params["gcn3"]["lin"]
+                        b3 = gl.get("bias", jnp.zeros((k.shape[1],),
+                                                      jnp.float32))
+                        s, s_t, mean, var = ah.assign_tail_train_chunked_lin(
+                            x12[None], x3[None], gl["kernel"], b3,
+                            k12, k3, lin_bias,
                             pool_params["bn3"]["scale"],
                             pool_params["bn3"]["bias"],
                             vm[None], n_glob, 1e-5, axis, ch,
@@ -831,7 +886,7 @@ def mega_forward(
                         x12[None], p_raw[None], k12,
                         inv[:, None] * k3, shift @ k3 + lin_bias, vm[None],
                     )
-                s, s_t = s[0], s_t[0]
+                s = s[0]
             else:
                 assign = _stage1_block(
                     {"pool1": pool_params}, {"pool1": pool_stats}, "pool1",
@@ -843,17 +898,38 @@ def mega_forward(
                 s = jax.nn.softmax(assign.astype(jnp.float32), -1).astype(
                     dtype
                 ) * valid[:, None]
-                s_t = s.T
             a_s = adj(s)                                         # [Ns, d1]
-            # TWO dots + one (tree) psum. The patch path fuses these into
-            # one [d1, Ns] @ [Ns, F+d1] matmul (_contract_dual_pair) to
-            # amortize the s_t pass through VMEM; at slide scale the
-            # [Ns, F+d1] concat is a full S-sized HBM round trip forward
-            # (1.5 ms in the r4 profile) plus a split pass backward, which
-            # costs MORE than re-streaming s_t for the second dot.
-            x_pool, adj_pool = jax.lax.psum(
-                (s_t @ pembed, s_t @ a_s), axis
+            # TWO row-contracting einsums + one (tree) psum. The patch path
+            # fuses these into one [d1, Ns] @ [Ns, F+d1] matmul
+            # (_contract_dual_pair); at slide scale the [Ns, F+d1] concat is
+            # a full S-sized HBM round trip forward (1.5 ms in the r4
+            # profile). Contract over rows of S directly — do NOT consume
+            # the kernel's s_t output here: a materialized S^T makes the
+            # backward produce TRANSPOSED cotangents (ds_t), and the
+            # [d1, Ns] relayout + add_any pair that reassembles them was
+            # 2.3 ms/step at 100k and ~6.4 GB of the 1M-nuclei OOM
+            # (copy.275/broadcast_in_dim.2417 in slide_scale_r4). The MXU
+            # contracts over dim 0 natively (weight-gradient orientation,
+            # same as _atf_bwd's dk3f einsum at ~80% of bound).
+            from cgcnet_tpu.ops.pallas.assign_head import pick_chunk
+
+            ch_seg = (
+                pick_chunk(s.shape[0], cfg.assign_tail_chunk)
+                if (train and cfg.assign_tail_chunk) else 0
             )
+            if ch_seg:
+                # capacity path: chunked accumulation loop bounds the
+                # contraction backward to one ds + one d a_s accumulator
+                # (see _chunked_pool_contract)
+                x_pool, adj_pool = _chunked_pool_contract(
+                    s, pembed, a_s, ch_seg
+                )
+            else:
+                x_pool, adj_pool = (
+                    jnp.einsum("nc,nf->cf", s, pembed),
+                    jnp.einsum("nc,nd->cd", s, a_s),
+                )
+            x_pool, adj_pool = jax.lax.psum((x_pool, adj_pool), axis)
             return x_pool, adj_pool, so
 
         if remat:

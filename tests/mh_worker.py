@@ -122,9 +122,13 @@ def loader_scenario(pid: int, nproc: int, port: str, root: str) -> None:
     step_fn = make_train_step(model)
     new_state, metrics = jax.jit(lambda s, g: step_fn(s, g, tx))(state, graph)
     loss = float(jax.device_get(metrics["loss"]))
+    # per-PROCESS dir: save_checkpoint's rank gate means only process 0's
+    # dir gains a file. A shared dir raced here — process 1 polled
+    # os.path.exists AFTER process 0 had already written and reported
+    # wrote=1 (flake under host load).
     path = save_checkpoint(
-        os.path.join(root, "mh_ckpt"), jax.device_get(new_state.params),
-        epoch=0,
+        os.path.join(root, f"mh_ckpt_p{pid}"),
+        jax.device_get(new_state.params), epoch=0,
     )
     wrote = os.path.exists(path)
     print(f"LOADER {pid} loss={loss:.6f} wrote={int(wrote)}", flush=True)

@@ -502,3 +502,109 @@ def test_chunked_tail_psum_matches_single_device(rng):
                                atol=1e-3, rtol=1e-3)
     np.testing.assert_allclose(np.asarray(gk), np.asarray(gk0),
                                atol=1e-3, rtol=1e-3)
+
+
+def test_chunked_lin_tail_matches_composed(rng):
+    """assign_tail_train_chunked_lin(x12, x3, kc3, b3, ...) == the composed
+    reference lin -> assign_tail_train: forward outputs and ALL gradients
+    (including the absorbed conv3-lin's dkc3/db3/dx3) agree up to the f32
+    chunk-reassociation of the accumulators. This is the 1M-capacity path
+    where p = x3 @ kc3 never materializes (benchmarks/slide_step_r4.json)."""
+    b, n, c, f12, f3, ch = 1, 512, 36, 8, 12, 128
+    x12 = jnp.asarray(rng.normal(size=(b, n, f12)).astype(np.float32))
+    x3 = jnp.asarray(rng.normal(size=(b, n, f3)).astype(np.float32))
+    kc3 = jnp.asarray(rng.normal(size=(f3, c)).astype(np.float32) * 0.5)
+    b3 = jnp.asarray(rng.normal(size=(c,)).astype(np.float32) * 0.1)
+    k12 = jnp.asarray(rng.normal(size=(f12, c)).astype(np.float32))
+    k3 = jnp.asarray(rng.normal(size=(c, c)).astype(np.float32) * 0.2)
+    lb = jnp.asarray(rng.normal(size=(c,)).astype(np.float32))
+    sc = jnp.ones((c,), jnp.float32)
+    bi = jnp.zeros((c,), jnp.float32)
+    mask = np.ones((b, n), np.float32)
+    mask[0, 400:] = 0.0
+    mask = jnp.asarray(mask)
+    nn = jnp.float32(400)
+
+    def composed(x12v, x3v, kc3v, b3v, k3v, lbv, scv, biv):
+        p = x3v @ kc3v + b3v[None, None, :]
+        return ah.assign_tail_train(
+            x12v, p, k12, k3v, lbv, scv, biv, mask, nn, 1e-5
+        )
+
+    def fused(x12v, x3v, kc3v, b3v, k3v, lbv, scv, biv):
+        return ah.assign_tail_train_chunked_lin(
+            x12v, x3v, kc3v, b3v, k12, k3v, lbv, scv, biv, mask, nn,
+            1e-5, None, ch,
+        )
+
+    args = (x12, x3, kc3, b3, k3, lb, sc, bi)
+    ref = composed(*args)
+    out = fused(*args)
+    for a, b_ in zip(ref, out):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=2e-6)
+
+    def loss(fn):
+        def run(*a):
+            s, s_t, mean, var = fn(*a)
+            return (
+                jnp.sum(s.astype(jnp.float32) ** 2)
+                + jnp.sum(s_t.astype(jnp.float32) * 0.1)
+                + jnp.sum(mean * var)
+            )
+        return run
+
+    g_ref = jax.grad(loss(composed), argnums=tuple(range(8)))(*args)
+    g_out = jax.grad(loss(fused), argnums=tuple(range(8)))(*args)
+    for gr, go in zip(g_ref, g_out):
+        np.testing.assert_allclose(
+            np.asarray(gr), np.asarray(go), atol=5e-5, rtol=1e-4
+        )
+
+    # non-dividing chunk: 512 = 384 + 128 remainder
+    g384 = jax.grad(loss(lambda *a: ah.assign_tail_train_chunked_lin(
+        a[0], a[1], a[2], a[3], k12, a[4], a[5], a[6], a[7], mask, nn,
+        1e-5, None, 384,
+    )), argnums=(1, 2))(*args)
+    for gr, go in zip((g_ref[1], g_ref[2]), g384):
+        np.testing.assert_allclose(
+            np.asarray(gr), np.asarray(go), atol=5e-5, rtol=1e-4
+        )
+
+
+def test_chunked_pool_contract_matches_direct(rng):
+    """parallel.mega_model._chunked_pool_contract == the direct einsum pair,
+    values and gradients (the capacity path's contraction backward keeps one
+    ds accumulator instead of three co-live contributions)."""
+    from cgcnet_tpu.parallel.mega_model import _chunked_pool_contract
+
+    n, c, f = 512, 36, 12
+    s = jnp.asarray(rng.normal(size=(n, c)).astype(np.float32))
+    pe = jnp.asarray(rng.normal(size=(n, f)).astype(np.float32))
+    a_s = jnp.asarray(rng.normal(size=(n, c)).astype(np.float32))
+
+    def direct(sv, pv, av):
+        return (jnp.einsum("nc,nf->cf", sv, pv),
+                jnp.einsum("nc,nd->cd", sv, av))
+
+    for chunk in (128, 384):   # 384 exercises the remainder path
+        out = _chunked_pool_contract(s, pe, a_s, chunk)
+        ref = direct(s, pe, a_s)
+        for a, b_ in zip(ref, out):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                       atol=1e-4, rtol=1e-5)
+
+        def loss(fn):
+            return lambda sv, pv, av: sum(
+                jnp.sum(o.astype(jnp.float32) ** 2) for o in fn(sv, pv, av)
+            )
+
+        g_ref = jax.grad(loss(direct), argnums=(0, 1, 2))(s, pe, a_s)
+        g_out = jax.grad(
+            loss(lambda sv, pv, av: _chunked_pool_contract(
+                sv, pv, av, chunk
+            )), argnums=(0, 1, 2),
+        )(s, pe, a_s)
+        for gr, go in zip(g_ref, g_out):
+            np.testing.assert_allclose(
+                np.asarray(gr), np.asarray(go), atol=5e-4, rtol=1e-4
+            )
