@@ -86,7 +86,7 @@ def main(argv=None):
     opt_state = tx.init(params)
     step = make_slide_train_step(
         mcfg, tx, mesh, halo_overlap=cfg.mesh.halo_overlap,
-        remat=cfg.mesh.remat,
+        remat=cfg.mesh.remat, remat_stage1=cfg.mesh.remat_stage1,
     )
     label = jnp.asarray(1)
     key = jax.random.key(0)

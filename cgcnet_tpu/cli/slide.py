@@ -111,7 +111,8 @@ def main(argv=None):
 
     fwd = jax.jit(lambda v, i: mega_forward(v, mcfg, i, mesh, train=False,
                                             halo_overlap=cfg.mesh.halo_overlap,
-                                            remat=cfg.mesh.remat))
+                                            remat=cfg.mesh.remat,
+                                            remat_stage1=cfg.mesh.remat_stage1))
     t0 = time.perf_counter()
     logits = np.asarray(jax.device_get(fwd(variables, inputs)))
     t_fwd_c = time.perf_counter() - t0

@@ -249,6 +249,11 @@ class MeshConfig:
     # are recomputed instead of stored, trading ~one extra pool-1 forward
     # for the dominant activation memory at 1M-nuclei scale.
     remat: bool = False
+    # Rematerialize the paired stage-1 (embed1, pool1) layers 1-3 + JK in
+    # the slide backward: the [Ns, <=120] dual-stream activations and their
+    # backward intermediates (~2.8 GB at 1M nuclei) must otherwise survive
+    # the pool-1 backward peak. Costs ~3 extra F<=40 matvec legs per step.
+    remat_stage1: bool = False
 
 
 @dataclass

@@ -818,6 +818,132 @@ assign_tail_train_chunked.defvjp(_atc_fwd, _atc_bwd)
 # ---------------------------------------------------------------------------
 
 
+def _kernel_pre_lin(nn_ref, x12_ref, x3_ref, kc3_ref, b3_ref, k12_ref,
+                    k3f_ref, const_ref, s_ref, *, tile: int):
+    """_kernel_pre with conv3's lin computed in-VMEM: p = x3 @ kc3 + b3 per
+    tile (k=F3 dot, one extra MXU pass per lane tile), rounded through the
+    compute dtype exactly like the unfused XLA matmul (+bias at bf16)."""
+    bi = pl.program_id(0)
+    ri = pl.program_id(1)
+    dt = s_ref.dtype
+    p = jnp.dot(
+        x3_ref[0], kc3_ref[...], preferred_element_type=jnp.float32
+    ).astype(dt) + b3_ref[0][None, :]
+    _, h = _rnorm_h(p.astype(jnp.float32))
+    acc = jnp.dot(
+        x12_ref[0], k12_ref[...], preferred_element_type=jnp.float32
+    )
+    acc = acc + jnp.dot(
+        h.astype(dt), k3f_ref[...], preferred_element_type=jnp.float32
+    )
+    logits = acc + const_ref[0][None, :]
+    m = jnp.max(logits, axis=-1, keepdims=True)
+    e = jnp.exp(logits - m)
+    s = e / jnp.sum(e, axis=-1, keepdims=True)
+    rows = ri * tile + jax.lax.broadcasted_iota(jnp.int32, (tile, 1), 0)
+    s_ref[0] = (s * (rows < nn_ref[bi]).astype(jnp.float32)).astype(dt)
+
+
+def _fwd_call_pre_lin(x12, x3, kc3, b3, k12, k3f, const, mask,
+                      tile: int | None = None):
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, n, f3 = x3.shape
+    c = kc3.shape[1]
+    f12 = x12.shape[-1]
+    tile = _pick_tile(n) if tile is None else tile
+    assert n % tile == 0, (n, tile)
+    dt = x3.dtype
+    nn = jnp.sum(mask.astype(jnp.float32), axis=1).astype(jnp.int32)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b, n // tile),
+        in_specs=[
+            pl.BlockSpec((1, tile, f12), lambda bi, ri, nn: (bi, ri, 0)),
+            pl.BlockSpec((1, tile, f3), lambda bi, ri, nn: (bi, ri, 0)),
+            pl.BlockSpec((f3, c), lambda bi, ri, nn: (0, 0)),
+            pl.BlockSpec((1, c), lambda bi, ri, nn: (0, 0)),
+            pl.BlockSpec((f12, c), lambda bi, ri, nn: (0, 0)),
+            pl.BlockSpec((c, c), lambda bi, ri, nn: (0, 0)),
+            pl.BlockSpec((1, c), lambda bi, ri, nn: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, tile, c), lambda bi, ri, nn: (bi, ri, 0)),
+    )
+    return pl.pallas_call(
+        functools.partial(_kernel_pre_lin, tile=tile),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, n, c), dt),
+        interpret=_interpret(),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * n * c * (f3 + f12 + c),
+            bytes_accessed=b * n * (f3 + f12 + c) * jnp.dtype(dt).itemsize,
+            transcendentals=b * n * (c + 1),
+        ),
+    )(nn, x12, x3, kc3.astype(dt), b3.astype(dt)[None, :], k12.astype(dt),
+      k3f.astype(dt), const[None, :])
+
+
+def _stats_kernel_lin(nn_ref, x3_ref, kc3_ref, b3_ref, sum_ref, sq_ref,
+                      *, tile: int):
+    bi = pl.program_id(0)
+    ri = pl.program_id(1)
+
+    @pl.when((bi == 0) & (ri == 0))
+    def _init():
+        sum_ref[...] = jnp.zeros_like(sum_ref)
+        sq_ref[...] = jnp.zeros_like(sq_ref)
+
+    dt = x3_ref.dtype
+    p = jnp.dot(
+        x3_ref[0], kc3_ref[...], preferred_element_type=jnp.float32
+    ).astype(dt) + b3_ref[0][None, :]
+    _, h = _rnorm_h(p.astype(jnp.float32))
+    rows = ri * tile + jax.lax.broadcasted_iota(jnp.int32, (tile, 1), 0)
+    h = h * (rows < nn_ref[bi]).astype(jnp.float32)
+    h = h.astype(dt).astype(jnp.float32)
+    sum_ref[...] += jnp.sum(h, axis=0)[None, :]
+    sq_ref[...] += jnp.sum(h * h, axis=0)[None, :]
+
+
+def _stats_call_lin(x3, kc3, b3, mask):
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, n, f3 = x3.shape
+    c = kc3.shape[1]
+    tile = _pick_tile(n)
+    assert n % tile == 0, n
+    dt = x3.dtype
+    nn = jnp.sum(mask.astype(jnp.float32), axis=1).astype(jnp.int32)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b, n // tile),
+        in_specs=[
+            pl.BlockSpec((1, tile, f3), lambda bi, ri, nn: (bi, ri, 0)),
+            pl.BlockSpec((f3, c), lambda bi, ri, nn: (0, 0)),
+            pl.BlockSpec((1, c), lambda bi, ri, nn: (0, 0)),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, c), lambda bi, ri, nn: (0, 0)),
+            pl.BlockSpec((1, c), lambda bi, ri, nn: (0, 0)),
+        ),
+    )
+    ssum, ssq = pl.pallas_call(
+        functools.partial(_stats_kernel_lin, tile=tile),
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((1, c), jnp.float32),
+            jax.ShapeDtypeStruct((1, c), jnp.float32),
+        ),
+        interpret=_interpret(),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * n * c * f3 + 6 * b * n * c,
+            bytes_accessed=b * n * f3 * jnp.dtype(dt).itemsize,
+            transcendentals=b * n,
+        ),
+    )(nn, x3, kc3.astype(dt), b3.astype(dt)[None, :])
+    return ssum[0], ssq[0]
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(11, 12, 13))
 def assign_tail_train_chunked_lin(
     x12, x3, kc3, b3, k12, k3, lin_bias, bn_scale, bn_bias, mask, n,
@@ -843,53 +969,18 @@ def _chunk_plan(nrows: int, chunk_rows: int):
 
 def _atcl_fwd_impl(x12, x3, kc3, b3, k12, k3, lin_bias, bn_scale, bn_bias,
                    mask, n, eps, axis, chunk_rows):
-    b, nrows, _ = x3.shape
-    c = kc3.shape[1]
-    ch, nfull, rem = _chunk_plan(nrows, chunk_rows)
-    dt = x3.dtype
-
-    def p_of(lo, size):
-        x3c = jax.lax.dynamic_slice_in_dim(x3, lo, size, 1)
-        return (
-            x3c @ kc3.astype(dt) + b3.astype(dt)[None, None, :]
-        ), x3c
-
-    # ---- pass 1: BN statistics, chunk by chunk ----
-    def acc_s(carry, lo, size):
-        su, sq = carry
-        pc, _ = p_of(lo, size)
-        mc = jax.lax.dynamic_slice_in_dim(mask, lo, size, 1)
-        du, dq = _stats_call(pc, mc)
-        return su + du, sq + dq
-
-    carry = (jnp.zeros((c,), jnp.float32), jnp.zeros((c,), jnp.float32))
-    carry = jax.lax.fori_loop(
-        0, nfull, lambda ci, cr: acc_s(cr, ci * ch, ch), carry
-    )
-    if rem:
-        carry = acc_s(carry, nfull * ch, rem)
-    ssum, ssq = carry
+    # forward: ONE Pallas call per pass with p computed in-VMEM per tile —
+    # a chunked dus-assembly loop here left a 2.15 GB loop-exit copy plus a
+    # compressed accumulator copy live at the 1M backward peak
+    del chunk_rows
+    ssum, ssq = _stats_call_lin(x3, kc3, b3, mask)
     if axis is not None:
         ssum = jax.lax.psum(ssum, axis)
         ssq = jax.lax.psum(ssq, axis)
     k3f, const, mean, var = _tail_algebra(
         ssum, ssq, k3, lin_bias, bn_scale, bn_bias, n, eps
     )
-
-    # ---- pass 2: S, chunk by chunk into one output buffer ----
-    def emit_s(s_acc, lo, size):
-        pc, _ = p_of(lo, size)
-        xc = jax.lax.dynamic_slice_in_dim(x12, lo, size, 1)
-        mc = jax.lax.dynamic_slice_in_dim(mask, lo, size, 1)
-        sc, _ = _fwd_call_pre(xc, pc, k12, k3f, const, mc)
-        return jax.lax.dynamic_update_slice_in_dim(s_acc, sc, lo, 1)
-
-    s = jnp.zeros((b, nrows, c), dt)
-    s = jax.lax.fori_loop(
-        0, nfull, lambda ci, acc: emit_s(acc, ci * ch, ch), s
-    )
-    if rem:
-        s = emit_s(s, nfull * ch, rem)
+    s = _fwd_call_pre_lin(x12, x3, kc3, b3, k12, k3f, const, mask)
     return s, None, mean, var, (k3f, const), (ssum, ssq)
 
 
@@ -916,15 +1007,16 @@ def _atcl_bwd(eps, axis, chunk_rows, res, cts):
     dt = x3.dtype
 
     def dl_of(lo, size):
-        """Chunk-local recompute: p from the lin, S from the same kernel
-        (bit-identical), then the masked-softmax cotangent fold."""
+        """Chunk-local recompute: S from the same lin-fused kernel as the
+        forward (bit-identical), p via the chunk-sized XLA lin (feeds the
+        h/dp recomputes), then the masked-softmax cotangent fold."""
         x3c = jax.lax.dynamic_slice_in_dim(x3, lo, size, 1)
         pc = x3c @ kc3.astype(dt) + b3.astype(dt)[None, None, :]
         xc = jax.lax.dynamic_slice_in_dim(x12, lo, size, 1)
         mc = jax.lax.dynamic_slice_in_dim(mask, lo, size, 1)
         dsc = jax.lax.dynamic_slice_in_dim(ds, lo, size, 1)
         dstc = jax.lax.dynamic_slice_in_dim(ds_t, lo, size, 2)
-        sc, _ = _fwd_call_pre(xc, pc, k12, k3f, const, mc)
+        sc = _fwd_call_pre_lin(xc, x3c, kc3, b3, k12, k3f, const, mc)
         g = dsc + jnp.swapaxes(dstc, 1, 2)
         gf = g.astype(jnp.float32)
         sf = sc.astype(jnp.float32)

@@ -185,51 +185,67 @@ def _linear(p, h):
     return out
 
 
-def _chunked_pool_contract(s, pembed, a_s, chunk: int):
-    """(S^T pembed, S^T A S) with a row-chunked, remat'd accumulation loop.
+import functools as _functools
 
-    The direct einsum pair's backward materializes THREE [N, C]-class ds
-    contributions plus their sum simultaneously (the pembed-product's, the
-    a_s-product's, and — outside this function — the A@S leg's): four of
-    the seven S-class allocations in the measured 18.71 GB 1M-nuclei OOM
-    (benchmarks/slide_step_r4.json). Chunking the contraction through a
-    ``jax.checkpoint``-ed fori_loop body makes reverse-mode (a) recompute
-    the chunk slices instead of stacking per-iteration residuals, and
-    (b) accumulate ds/d a_s into ONE buffer each via the dynamic-slice
-    transpose — bounding the backward working set to s + a_s + 2
-    accumulators + chunk temporaries. Forward cost: identical FLOPs, one
-    extra chunk-loop recompute of the two einsums in the backward."""
+
+@_functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _chunked_pool_contract(s, pembed, a_s, chunk: int):
+    """(S^T pembed, S^T A S) with a hand-chunked backward.
+
+    The direct einsum pair's reverse-mode materializes THREE [N, C]-class
+    ds contributions plus their sum simultaneously, and a first
+    loop-accumulation rewrite still left the d(A S) cotangent triple-
+    buffered (autodiff dus accumulator + XLA's remat-compressed copy + the
+    adjacency backward's scale multiply — ~4.3 GB of the 16.5 GB 1M-nuclei
+    peak, benchmarks/slide_step_r4.json). This custom VJP's backward:
+
+    - d(A S) = S @ ct_adj as ONE matmul output — no accumulator, no
+      compressed copy, and the _ShardedAdj scale-on-cotangent multiply can
+      fuse into the matmul epilogue;
+    - ds assembled by one fori_loop writing
+      ds[chunk] = pembed_c @ ct_x^T + a_s_c @ ct_adj^T
+      into a single buffer (both products per chunk in one expression);
+    - d pembed = S @ ct_x ([N, F] — small).
+
+    Backward working set: s + a_s (residuals) + ds + d(A S), the inherent
+    minimum for this contraction pair."""
+    return (
+        jnp.einsum("nc,nf->cf", s, pembed),
+        jnp.einsum("nc,nd->cd", s, a_s),
+    )
+
+
+def _cpc_fwd(s, pembed, a_s, chunk):
+    return _chunked_pool_contract(s, pembed, a_s, chunk), (s, pembed, a_s)
+
+
+def _cpc_bwd(chunk, res, cts):
+    s, pembed, a_s = res
+    ct_x, ct_adj = cts
+    dt = s.dtype
+    d_a_s = s @ ct_adj.astype(dt)
+    d_pembed = s @ ct_x.astype(dt)
     n = s.shape[0]
     ch = min(chunk, n)
-    nfull, rem = n // ch, n - (n // ch) * ch
+    ctx_t = ct_x.astype(dt).T
+    cta_t = ct_adj.astype(dt).T
 
-    def body(carry, lo, size):
-        xp, ap = carry
-        sc = jax.lax.dynamic_slice_in_dim(s, lo, size, 0)
-        xc = jax.lax.dynamic_slice_in_dim(pembed, lo, size, 0)
-        ac = jax.lax.dynamic_slice_in_dim(a_s, lo, size, 0)
-        # f32 accumulators: chunk partials round once at the end instead of
-        # once per chunk (the [C, F]/[C, C] carries are KB-class)
-        return (
-            xp + jnp.einsum(
-                "nc,nf->cf", sc, xc, preferred_element_type=jnp.float32
-            ),
-            ap + jnp.einsum(
-                "nc,nd->cd", sc, ac, preferred_element_type=jnp.float32
-            ),
-        )
+    # STATIC chunk offsets + one concatenate, not a fori_loop over
+    # dynamic-update-slice: the dus form needs a zeros-initialized [N, C]
+    # accumulator that XLA materialized as a 2.13 GB broadcast constant at
+    # the 1M peak (it cannot prove the dynamic updates fully cover the
+    # init); concat parts write straight into the single output buffer.
+    parts = []
+    for lo in range(0, n, ch):
+        size = min(ch, n - lo)
+        pc = jax.lax.slice_in_dim(pembed, lo, lo + size, axis=0)
+        ac = jax.lax.slice_in_dim(a_s, lo, lo + size, axis=0)
+        parts.append((pc @ ctx_t + ac @ cta_t).astype(dt))
+    ds = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
+    return ds, d_pembed, d_a_s
 
-    body_ck = jax.checkpoint(body, static_argnums=(2,))
-    init = (
-        jnp.zeros((s.shape[1], pembed.shape[1]), jnp.float32),
-        jnp.zeros((s.shape[1], a_s.shape[1]), jnp.float32),
-    )
-    out = jax.lax.fori_loop(
-        0, nfull, lambda ci, cr: body_ck(cr, ci * ch, ch), init
-    )
-    if rem:
-        out = body_ck(out, nfull * ch, rem)
-    return out[0].astype(s.dtype), out[1].astype(s.dtype)
+
+_chunked_pool_contract.defvjp(_cpc_fwd, _cpc_bwd)
 
 
 def _act(name):
@@ -713,6 +729,7 @@ def mega_forward(
     axis: str = "graph",
     halo_overlap: bool = False,
     remat: bool = False,
+    remat_stage1: bool = False,
     return_stats: bool = False,
     dropout_rng=None,
 ) -> jax.Array:
@@ -765,14 +782,30 @@ def mega_forward(
             == params["pool1"]["gcn1"]["lin"]["kernel"].shape[1]
         )
         if paired:
-            e12, p12, agg3_e, agg3_p = _paired_layers12(
-                params, stats, "embed1", "pool1", x, adj, valid, cfg, axis,
-                train, stats_out,
-            )
-            embed = _stage1_block(
-                params, stats, "embed1", x, adj, valid, cfg, axis, train,
-                lin=False, stats_out=stats_out, pre12=e12, pre_agg3=agg3_e,
-            )
+            def stage1_paired(prm, st, xx):
+                # pure segment (stats flow OUT as explicit returns) so it
+                # can be jax.checkpoint'd; e12/agg3_e stay internal and are
+                # recomputed in the backward under remat_stage1
+                so1: dict = {}
+                e12_, p12_, agg3_e_, agg3_p_ = _paired_layers12(
+                    prm, st, "embed1", "pool1", xx, adj, valid, cfg, axis,
+                    train, so1,
+                )
+                emb = _stage1_block(
+                    prm, st, "embed1", xx, adj, valid, cfg, axis, train,
+                    lin=False, stats_out=so1, pre12=e12_, pre_agg3=agg3_e_,
+                )
+                return emb, p12_, agg3_p_, so1
+
+            if remat_stage1:
+                # the [Ns, <=120] dual-stream activations + their backward
+                # intermediates (~2.8 GB at 1M) otherwise survive the
+                # pool-1 backward peak; residuals shrink to the segment
+                # outputs (~0.5 GB at 1M) for ~3 extra F<=40 matvec legs
+                stage1_paired = jax.checkpoint(stage1_paired)
+            embed, p12, agg3_p, so1 = stage1_paired(params, stats or {}, x)
+            for _name, _d in so1.items():
+                stats_out.setdefault(_name, {}).update(_d)
         else:
             p12 = agg3_p = None
             embed = _stage1_block(

@@ -24,6 +24,7 @@ def make_slide_train_step(
     mesh,
     halo_overlap: bool = False,
     remat: bool = False,
+    remat_stage1: bool = False,
 ):
     """Returns step(params, batch_stats, opt_state, inputs, label) ->
     (params, batch_stats, opt_state, loss). BN uses cross-shard batch
@@ -37,7 +38,8 @@ def make_slide_train_step(
             logits, new_stats = mega_forward(
                 {"params": p, "batch_stats": batch_stats},
                 cfg, inputs, mesh, train=True,
-                halo_overlap=halo_overlap, remat=remat, return_stats=True,
+                halo_overlap=halo_overlap, remat=remat,
+                remat_stage1=remat_stage1, return_stats=True,
                 dropout_rng=dropout_rng,
             )
             logp = jax.nn.log_softmax(logits)

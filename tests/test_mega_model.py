@@ -575,3 +575,58 @@ def test_chunked_assign_tail_matches_plain_mega(rng):
         )
     finally:
         bk.set_interpret(False)
+
+
+def test_remat_stage1_grads_match(rng):
+    """mesh remat_stage1 (checkpointed paired stage-1 segment) must be
+    numerically invisible: identical loss/grads/stats to the stored-
+    activation path (jax.checkpoint recomputes the same ops)."""
+    import cgcnet_tpu.ops.pallas.bsr_kernel as bk
+
+    n_real, cap, d = 420, 512, 2
+    x, nbr, mask = build(rng, n_real, cap)
+    cfg = ModelConfig(
+        input_dim=18, max_num_nodes=640, assign_ratio=0.2,
+        hidden_dim=8, embedding_dim=8, assign_hidden_dim=8,
+        drop_out=0.0, use_pallas=False,
+        fused_assign_softmax="always", fused_assign_norm="always",
+    )
+    g = CellGraph(
+        x=jnp.asarray(x)[None], nbr=jnp.asarray(nbr)[None],
+        nbr_mask=jnp.asarray(mask)[None],
+        n_nodes=jnp.asarray([n_real], jnp.int32),
+    )
+    variables = CGCNet(
+        ModelConfig(**{**cfg.__dict__, "fused_assign_softmax": "never",
+                       "fused_assign_norm": "never"})
+    ).init({"params": jax.random.key(5)}, g, train=False)
+    mesh = make_mesh(1, d, devices=jax.devices()[:d])
+    part = partition_graph(nbr, mask, d)
+    inp = prepare_mega_inputs(x, part, mesh, n_real=n_real)
+
+    bk.set_interpret(True)
+    try:
+        out = {}
+        for r1 in (False, True):
+            def loss(params):
+                v = {"params": params,
+                     "batch_stats": variables["batch_stats"]}
+                logits, st = mega_forward(
+                    v, cfg, inp, mesh, train=True, remat_stage1=r1,
+                    return_stats=True,
+                )
+                return -jax.nn.log_softmax(logits)[1], st
+
+            (l, st), gr = jax.jit(
+                jax.value_and_grad(loss, has_aux=True)
+            )(variables["params"])
+            out[r1] = (float(l), gr, st)
+        np.testing.assert_allclose(out[True][0], out[False][0], atol=0)
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=1e-6, rtol=1e-6
+            ),
+            out[True][1], out[False][1],
+        )
+    finally:
+        bk.set_interpret(False)
