@@ -143,6 +143,7 @@ def main(argv=None):
         variables, losses = train_slides(
             mcfg, variables, [(inputs, lbl)], mesh,
             lr=cfg.train.lr, epochs=args.train_epochs,
+            remat=cfg.mesh.remat, remat_stage1=cfg.mesh.remat_stage1,
         )
         print(
             f"fine-tune: {args.train_epochs} epochs on this slide, "

@@ -951,9 +951,11 @@ def mega_forward(
                 if (train and cfg.assign_tail_chunk) else 0
             )
             if ch_seg:
-                # capacity path: chunked accumulation loop bounds the
-                # contraction backward to one ds + one d a_s accumulator
-                # (see _chunked_pool_contract)
+                # capacity path: custom-VJP backward — d(A S) as ONE matmul
+                # and ds from static chunk slices (see
+                # _chunked_pool_contract). Measured perf-NEUTRAL at 100k
+                # (38.4 vs 38.08 ms always-on), so it stays gated to the
+                # chunked capacity config where its memory shape is needed.
                 x_pool, adj_pool = _chunked_pool_contract(
                     s, pembed, a_s, ch_seg
                 )

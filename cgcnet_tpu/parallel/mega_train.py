@@ -68,6 +68,7 @@ def train_slides(
     epochs: int = 1,
     seed: int = 0,
     remat: bool = False,
+    remat_stage1: bool = False,
 ) -> tuple[dict, list[float]]:
     """Minimal slide-level fine-tuning loop. Returns (variables, losses).
     Head dropout (cfg.drop_out, matching patch training) is driven by a
@@ -76,7 +77,8 @@ def train_slides(
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
     opt_state = tx.init(params)
-    step = jax.jit(make_slide_train_step(cfg, tx, mesh, remat=remat))
+    step = jax.jit(make_slide_train_step(
+        cfg, tx, mesh, remat=remat, remat_stage1=remat_stage1))
     losses = []
     base = jax.random.key(seed)
     for epoch in range(epochs):
