@@ -119,22 +119,33 @@ def run_dryrun(n_devices: int) -> None:
         tx2 = optax.adam(1e-3)
         opt_state = tx2.init(variables["params"])
         slide_step = jax.jit(make_slide_train_step(mcfg, tx2, gmesh))
+        # capacity configuration: chunked-recompute assign tail with the
+        # in-kernel conv3 lin + custom-VJP pool contraction + stage-1 remat
+        # — the 1M-nuclei single-chip path (slide_scale_r4.json)
+        mcfg_cap = ModelConfig(
+            **{**mcfg.__dict__, "assign_tail_chunk": 128}
+        )
+        cap_step = jax.jit(make_slide_train_step(
+            mcfg_cap, tx2, gmesh, remat_stage1=True,
+        ))
         was_interp = bsr_kernel._INTERPRET
         bsr_kernel.set_interpret(jax.default_backend() != "tpu")
         try:
-            params, stats, opt_state, loss2 = slide_step(
-                variables["params"], variables.get("batch_stats", {}),
-                opt_state, inputs, jnp.asarray(1),
-                dropout_rng=jax.random.key(7),
-            )
-            assert np.isfinite(float(loss2)), f"slide step produced {loss2}"
-            delta = sum(
-                float(jnp.abs(a - b).sum())
-                for a, b in zip(
-                    jax.tree.leaves(params),
-                    jax.tree.leaves(variables["params"]),
+            for name, step_fn in (("slide", slide_step),
+                                  ("slide-capacity", cap_step)):
+                params, stats, opt_state2, loss2 = step_fn(
+                    variables["params"], variables.get("batch_stats", {}),
+                    tx2.init(variables["params"]), inputs, jnp.asarray(1),
+                    dropout_rng=jax.random.key(7),
                 )
-            )
-            assert delta > 0, "slide step did not move parameters"
+                assert np.isfinite(float(loss2)), (name, loss2)
+                delta = sum(
+                    float(jnp.abs(a - b).sum())
+                    for a, b in zip(
+                        jax.tree.leaves(params),
+                        jax.tree.leaves(variables["params"]),
+                    )
+                )
+                assert delta > 0, f"{name} step did not move parameters"
         finally:
             bsr_kernel.set_interpret(was_interp)
