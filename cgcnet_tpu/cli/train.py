@@ -160,7 +160,10 @@ def main(argv=None) -> dict:
         max_num_examples=cfg.train.eval_max_examples or None,
     )
     print("final:", final)
-    return final
+    # run_dir lets callers (crossval/rehearsal harnesses) locate
+    # metrics.jsonl for per-epoch curves; excluded from crossval's mean
+    # (it aggregates named metric keys only)
+    return {**final, "run_dir": str(trainer.run_dir)}
 
 
 if __name__ == "__main__":

@@ -117,7 +117,6 @@ def run_dryrun(n_devices: int) -> None:
         inputs = prepare_mega_inputs(x, part, gmesh, n_real=n, bsr=tables)
 
         tx2 = optax.adam(1e-3)
-        opt_state = tx2.init(variables["params"])
         slide_step = jax.jit(make_slide_train_step(mcfg, tx2, gmesh))
         # capacity configuration: chunked-recompute assign tail with the
         # in-kernel conv3 lin + custom-VJP pool contraction + stage-1 remat
@@ -133,7 +132,7 @@ def run_dryrun(n_devices: int) -> None:
         try:
             for name, step_fn in (("slide", slide_step),
                                   ("slide-capacity", cap_step)):
-                params, stats, opt_state2, loss2 = step_fn(
+                params, _stats, _opt_state, loss2 = step_fn(
                     variables["params"], variables.get("batch_stats", {}),
                     tx2.init(variables["params"]), inputs, jnp.asarray(1),
                     dropout_rng=jax.random.key(7),

@@ -571,6 +571,75 @@ def test_chunked_lin_tail_matches_composed(rng):
         )
 
 
+def test_chunked_lin_tail_psum_matches_single_device(rng):
+    """Lin-absorbing chunked variant under a 2-shard shard_map == the
+    single-device composed reference (conv3 lin -> unchunked tail) on the
+    concatenated rows — values AND gradients. Pins the cross-shard cotangent
+    routing at assign_head.py::assign_tail_train_chunked_lin's axis!=None
+    path: replicated-param grads (kc3/b3/k3) must stay LOCAL (the shard_map
+    transpose psums them) while the BN-stats cotangents are psum'd inside —
+    the exact double-count spot test_psum_tail_matches_single_device pins
+    for the non-lin tail."""
+    from jax.sharding import Mesh, PartitionSpec as P
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs 2 virtual devices")
+    b, n, c, f12, f3, ch = 1, 512, 36, 8, 12, 128
+    x12 = jnp.asarray(rng.normal(size=(b, n, f12)).astype(np.float32))
+    x3 = jnp.asarray(rng.normal(size=(b, n, f3)).astype(np.float32))
+    kc3 = jnp.asarray(rng.normal(size=(f3, c)).astype(np.float32) * 0.5)
+    b3 = jnp.asarray(rng.normal(size=(c,)).astype(np.float32) * 0.1)
+    k12 = jnp.asarray(rng.normal(size=(f12, c)).astype(np.float32))
+    k3 = jnp.asarray(rng.normal(size=(c, c)).astype(np.float32) * 0.2)
+    lb = jnp.asarray(rng.normal(size=(c,)).astype(np.float32))
+    sc = jnp.ones((c,), jnp.float32)
+    bi = jnp.zeros((c,), jnp.float32)
+    mask = jnp.ones((b, n), jnp.float32)
+    mesh = Mesh(np.array(jax.devices()[:2]), ("graph",))
+
+    def sharded(x3v, kc3v, b3v, k3v):
+        def run(x12s, x3s, masks, kc3s, b3s, k3s):
+            n_glob = jax.lax.psum(jnp.sum(masks), "graph")
+            return ah.assign_tail_train_chunked_lin(
+                x12s, x3s, kc3s, b3s, k12, k3s, lb, sc, bi, masks,
+                n_glob, 1e-5, "graph", ch,
+            )
+
+        return jax.shard_map(
+            run, mesh=mesh,
+            in_specs=(P(None, "graph"), P(None, "graph"),
+                      P(None, "graph"), P(), P(), P()),
+            out_specs=(P(None, "graph"), P(None, None, "graph"), P(), P()),
+            check_vma=False,
+        )(x12, x3v, mask, kc3v, b3v, k3v)
+
+    def composed(x3v, kc3v, b3v, k3v):
+        p = x3v @ kc3v + b3v[None, None, :]
+        return ah.assign_tail_train(
+            x12, p, k12, k3v, lb, sc, bi, mask, jnp.float32(b * n), 1e-5
+        )
+
+    args = (x3, kc3, b3, k3)
+    s_sh, _, mean_sh, var_sh = sharded(*args)
+    s0, _, mean0, var0 = composed(*args)
+    np.testing.assert_allclose(np.asarray(s_sh), np.asarray(s0), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(mean_sh), np.asarray(mean0),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(var_sh), np.asarray(var0),
+                               atol=1e-5)
+
+    def loss(fn):
+        return lambda *a: jnp.sum(fn(*a)[0].astype(jnp.float32) ** 2)
+
+    g_sh = jax.grad(loss(sharded), argnums=(0, 1, 2, 3))(*args)
+    g0 = jax.grad(loss(composed), argnums=(0, 1, 2, 3))(*args)
+    for name, gs, gr in zip(("dx3", "dkc3", "db3", "dk3"), g_sh, g0):
+        np.testing.assert_allclose(
+            np.asarray(gs), np.asarray(gr), atol=1e-3, rtol=1e-3,
+            err_msg=name,
+        )
+
+
 def test_chunked_pool_contract_matches_direct(rng):
     """parallel.mega_model._chunked_pool_contract == the direct einsum pair,
     values and gradients (the capacity path's contraction backward keeps one
