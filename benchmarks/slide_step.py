@@ -82,7 +82,7 @@ def main(argv=None):
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
 
-    tx = optax.adam(1e-3)
+    tx = optax.flatten(optax.adam(1e-3))  # production slide config
     opt_state = tx.init(params)
     step = make_slide_train_step(
         mcfg, tx, mesh, halo_overlap=cfg.mesh.halo_overlap,

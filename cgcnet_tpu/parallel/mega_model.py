@@ -61,6 +61,9 @@ class MegaInputs:
     # streamed kernel; see bsr_kernel.bsr_matmul_banded)
     win_base: jax.Array | None = None    # i32[D, R // G_BAND] or [D, 0]
     win_base_t: jax.Array | None = None  # i32[D, RC // G_BAND] or [D, 0]
+    # halo-window bases for the forward direction ((D, 0) sentinel = halo
+    # rides the resident tail / not banded; bsr_kernel._banded_halo_kernel)
+    win_halo: jax.Array | None = None    # i32[D, R // G_BAND] or [D, 0]
     # block values materialized ONCE per slide (prepare_mega_inputs): the
     # slide adjacency is constant across train steps, so the per-step build
     # (2.15 ms at 100k nuclei) and the step-entry relayout copies of the
@@ -119,6 +122,11 @@ def prepare_mega_inputs(
             "win_base_t": put(
                 bsr.win_base_t
                 if getattr(bsr, "win_base_t", None) is not None
+                else _zero_win
+            ),
+            "win_halo": put(
+                bsr.win_halo
+                if getattr(bsr, "win_halo", None) is not None
                 else _zero_win
             ),
         }
@@ -532,48 +540,17 @@ def _stage1_block(
 
 
 def _jk(p, h, channels: int, layers: int = 3):
-    """DenseJK over sharded nodes — per-node op, no communication."""
-    n = h.shape[0]
-    # same contract check as nn.jk.DenseJK: the concat must be exactly
-    # `layers` slices of `channels`
-    assert h.shape[-1] == channels * layers, (h.shape, channels, layers)
-    x = jnp.stack(jnp.split(h, layers, axis=-1), 1)  # [n, T, C]
-    lp = p["lstm"]
+    """DenseJK over sharded nodes — per-node op, no communication.
 
-    def run(x_seq, sfx):
-        dt = x_seq.dtype
-        w_ih = lp[f"weight_ih{sfx}"].astype(dt)
-        w_hh = lp[f"weight_hh{sfx}"].astype(dt)
-        b = (lp[f"bias_ih{sfx}"] + lp[f"bias_hh{sfx}"]).astype(dt)
-        hdim = w_hh.shape[1]
+    Delegates to nn.jk.bilstm_attend_2d (round 5): the all-2D fused
+    biLSTM-attention shared with the patch path's DenseJK — one
+    block-structured input-projection matmul for all six (timestep,
+    direction) gate blocks, concatenated-direction recurrent matmuls, and
+    no [n, T, C]-stacked tensor (17x layout padding at T=3/C=20, ~200 MB
+    of HBM traffic per such tensor at 100k nuclei)."""
+    from cgcnet_tpu.nn.jk import bilstm_attend_2d
 
-        def cell(carry, x_t):
-            h_t, c_t = carry
-            gates = x_t @ w_ih.T + h_t @ w_hh.T + b
-            i, f, g, o = jnp.split(gates, 4, -1)
-            c_new = jax.nn.sigmoid(f) * c_t + jax.nn.sigmoid(i) * jnp.tanh(g)
-            h_new = jax.nn.sigmoid(o) * jnp.tanh(c_new)
-            return (h_new, c_new), h_new
-
-        # unroll over the static length-3 layer axis — a lax.scan here
-        # compiles to a device while-loop whose per-iteration sync floor
-        # (~0.5 ms/scan at slide scale, r3 profile) dwarfs the 3 tiny
-        # matmuls; same decision as nn/jk.py's TorchLSTM unroll (round 2)
-        carry = (
-            jnp.zeros((n, hdim), x.dtype), jnp.zeros((n, hdim), x.dtype)
-        )
-        ys = []
-        for t in range(x_seq.shape[1]):
-            carry, y = cell(carry, x_seq[:, t])
-            ys.append(y)
-        return jnp.stack(ys, 1)
-
-    fwd = run(x, "_l0")
-    bwd = run(x[:, ::-1], "_l0_reverse")[:, ::-1]
-    alpha = _linear(p["att"], jnp.concatenate([fwd, bwd], -1))[..., 0]
-    # layer-attention softmax in f32 (precision-policy island, nn/jk.py:115)
-    alpha = jax.nn.softmax(alpha.astype(jnp.float32), -1).astype(x.dtype)
-    return jnp.sum(x * alpha[..., None], 1)
+    return bilstm_attend_2d(p, h, channels, layers)
 
 
 class _ShardedAdj:
@@ -691,9 +668,15 @@ class _ShardedAdj:
                 if self.inp.win_base_t is not None
                 else jnp.zeros((1, 0), jnp.int32)
             )
+            win_halo = (
+                self.inp.win_halo.reshape(1, -1)
+                if self.inp.win_halo is not None
+                else jnp.zeros((1, 0), jnp.int32)
+            )
             agg = bsr_local_matmul(
                 self.vals, self.inp.blk_cols[None], win,
                 self.vals_t, self.inp.blk_cols_t[None], win_t, h, halo,
+                win_halo,
             )
             return self.scale[:, None] * agg + self.self_w[:, None] * h
         if self.overlap:
@@ -883,9 +866,10 @@ def mega_forward(
                         # (three of the seven S-class allocations in the
                         # 18.71 GB 1M OOM, benchmarks/slide_step_r4.json)
                         gl = pool_params["gcn3"]["lin"]
-                        b3 = gl.get("bias", jnp.zeros((k.shape[1],),
-                                                      jnp.float32))
-                        s, s_t, mean, var = ah.assign_tail_train_chunked_lin(
+                        b3 = gl.get("bias",
+                                    jnp.zeros((gl["kernel"].shape[1],),
+                                              jnp.float32))
+                        s, _, mean, var = ah.assign_tail_train_chunked_lin(
                             x12[None], x3[None], gl["kernel"], b3,
                             k12, k3, lin_bias,
                             pool_params["bn3"]["scale"],
@@ -893,7 +877,7 @@ def mega_forward(
                             vm[None], n_glob, 1e-5, axis, ch,
                         )
                     else:
-                        s, s_t, mean, var = ah.assign_tail_train_psum(
+                        s, _, mean, var = ah.assign_tail_train_psum(
                             x12[None], p_raw[None], k12, k3, lin_bias,
                             pool_params["bn3"]["scale"],
                             pool_params["bn3"]["bias"],
@@ -915,7 +899,7 @@ def mega_forward(
                         "bn3"
                     ]["scale"]
                     shift = pool_params["bn3"]["bias"] - st["mean"] * inv
-                    s, s_t = ah.assign_head_softmax_pre(
+                    s, _ = ah.assign_head_softmax_pre(
                         x12[None], p_raw[None], k12,
                         inv[:, None] * k3, shift @ k3 + lin_bias, vm[None],
                     )

@@ -73,7 +73,10 @@ def train_slides(
     """Minimal slide-level fine-tuning loop. Returns (variables, losses).
     Head dropout (cfg.drop_out, matching patch training) is driven by a
     per-step fold of ``seed``."""
-    tx = optax.adam(lr)
+    # flat update vector instead of ~100 per-leaf adam fusions — values
+    # bit-identical (tests/test_train.py::test_flatten_opt_bit_identical),
+    # and the per-leaf launches are pure latency-class tail at slide scale
+    tx = optax.flatten(optax.adam(lr))
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
     opt_state = tx.init(params)

