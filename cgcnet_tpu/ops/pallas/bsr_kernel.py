@@ -452,7 +452,29 @@ def bsr_matmul(
             ),
         )(blk_cols.reshape(-1), vals, x)
     # large feature tables: the M x column tiles of each row tile arrive as
-    # M pipelined BlockSpec inputs selected by the prefetched block columns
+    # M pipelined BlockSpec inputs selected by the prefetched block columns.
+    #
+    # Scoped-VMEM guard: every pipelined operand is double-buffered, so the
+    # streamed call's stack is ~2*(M x-blocks [TILE, f_pad] + vals block
+    # [M, T, T] + out block [TILE, f_pad]). At f32 F=1140 M=12 that is
+    # 16.12 MB — 128 KB OVER Mosaic's 16 MB scoped limit (observed: the f32
+    # patch-step backward failed AOT compile exactly here, 2026-08-20; the
+    # bf16 variant is half the bytes and fine). Split the call along F at a
+    # lane-aligned point; vals are re-read once per part (~+11% traffic on
+    # the f32 patch backward) which beats a failed compile. Recursion
+    # halves F until the stack fits.
+    vsz = jnp.dtype(vals.dtype).itemsize
+    scoped = 2 * (m + 1) * TILE * f_pad * itemsize + 2 * m * TILE * TILE * vsz
+    if scoped > _SCOPED_VMEM_BUDGET and f > 128:
+        half = -(-((f + 1) // 2) // 128) * 128  # multiple of 128, >= f/2
+        return jnp.concatenate(
+            [
+                bsr_matmul(vals, blk_cols, x[..., :half]),
+                bsr_matmul(vals, blk_cols, x[..., half:]),
+            ],
+            axis=-1,
+        )
+
     def x_spec(mi):
         # bc is the FLAT [B*R*M] block-column list (SMEM pads 2D scalar
         # operands to (8,128) tiles — 2 MB at slide scale, over the 1 MB
@@ -489,6 +511,10 @@ def bsr_matmul(
 # feature tables up to this many bytes stay fully VMEM-resident (the
 # single-grid-step kernel); larger tables use the tiled column-DMA kernel
 _RESIDENT_LIMIT = 4 * 1024 * 1024
+
+# streamed-kernel double-buffered stack budget: Mosaic's scoped-vmem limit
+# is 16 MB; leave headroom for the kernel's own temporaries
+_SCOPED_VMEM_BUDGET = 14 * 1024 * 1024
 
 
 # ---------------------------------------------------------------------------
@@ -554,6 +580,54 @@ def band_window_table(
             return None  # band wider than the window at this super tile
         base[si] = b0
     return base
+
+
+def band_window_table_halo(
+    blk_cols: np.ndarray,   # i32[R, M] one shard
+    blk_mask: np.ndarray,   # [R, M]
+    ns_tiles: int,          # local column tiles (halo tiles start here)
+    h_tiles_total: int,     # halo column tiles available in the halo array
+) -> tuple[np.ndarray, np.ndarray] | None:
+    """(local_base[S], halo_base[S]) for the halo-WINDOWED banded kernel
+    (round 5), or None when either band is too wide at some super tile.
+
+    The resident-tail form (band_window_table) dies when the halo exceeds
+    H_BAND_MAX tiles — exactly the multi-shard deployment (≥2 shards at
+    ≥300k nuclei have thousands of halo rows). But the halo array is
+    GLOBALLY SPATIALLY SORTED by construction: partition_graph assigns
+    destination-d halo slots in (source shard e, node id) order, source
+    shards own contiguous spatial strips, so the concatenation over e is
+    monotone in global node id (with dead capacity-padding gaps between
+    segments). A super row tile's remote neighbours are spatially local →
+    they land in a narrow halo window, double-buffered per super step just
+    like the local band. Window width = H_BAND_MAX tiles (the same VMEM
+    tail the resident form used)."""
+    r = blk_cols.shape[0]
+    if r % G_BAND or r < G_BAND or ns_tiles < W_BAND:
+        return None
+    if h_tiles_total < H_BAND_MAX:
+        return None  # tail fits resident — use band_window_table instead
+    s_count = r // G_BAND
+    base = np.zeros(s_count, np.int32)
+    hbase = np.zeros(s_count, np.int32)
+    for si in range(s_count):
+        rows = slice(si * G_BAND, (si + 1) * G_BAND)
+        cols = blk_cols[rows][blk_mask[rows] > 0]
+        loc = cols[cols < ns_tiles]
+        hal = cols[cols >= ns_tiles] - ns_tiles
+        if len(loc):
+            lo, hi = int(loc.min()), int(loc.max())
+            b0 = min(lo, ns_tiles - W_BAND)
+            if hi >= b0 + W_BAND:
+                return None  # local band wider than the window
+            base[si] = b0
+        if len(hal):
+            hlo, hhi = int(hal.min()), int(hal.max())
+            h0 = min(hlo, h_tiles_total - H_BAND_MAX)
+            if hhi >= h0 + H_BAND_MAX:
+                return None  # halo band wider than the halo window
+            hbase[si] = h0
+    return base, hbase
 
 
 def _banded_kernel(
@@ -628,6 +702,81 @@ def _banded_kernel(
         )
 
 
+def _banded_halo_kernel(
+    blk_cols_ref,   # scalar prefetch: i32[B*R*M] (flat)
+    win_ref,        # scalar prefetch: i32[B*S] local-band bases
+    hwin_ref,       # scalar prefetch: i32[B*S] halo-band bases (halo tiles)
+    x_ref,          # ANY/HBM: [B, NS, F] local columns
+    xh_ref,         # ANY/HBM: [B, H*T, F] halo columns (separate array)
+    vals_ref,       # VMEM: [1, G, M, T, T] (pipelined)
+    out_ref,        # VMEM: [1, G*T, F]
+    xw,             # VMEM scratch: [2, (W+H_BAND_MAX)*T, F]
+    sems,           # DMA semaphores (2, 2): [0]=band, [1]=halo
+    *, r: int, m_cap: int, ns_tiles: int,
+):
+    """Halo-WINDOWED variant of _banded_kernel (round 5): instead of a
+    resident halo tail copied once per batch (dies at H > H_BAND_MAX tiles
+    — every multi-shard deployment), the halo columns are double-buffered
+    through a second per-super-tile window, riding the same spatial
+    sortedness as the local band (band_window_table_halo)."""
+    bi = pl.program_id(0)
+    si = pl.program_id(1)
+    s_count = pl.num_programs(1)
+    t = TILE
+    w = W_BAND
+
+    def band_dma(slot, sj):
+        base = win_ref[bi * s_count + sj] * t
+        return pltpu.make_async_copy(
+            x_ref.at[bi, pl.ds(base, w * t), :],
+            xw.at[slot, pl.ds(0, w * t), :],
+            sems.at[0, slot],
+        )
+
+    def halo_dma(slot, sj):
+        hb = hwin_ref[bi * s_count + sj] * t
+        return pltpu.make_async_copy(
+            xh_ref.at[bi, pl.ds(hb, H_BAND_MAX * t), :],
+            xw.at[slot, pl.ds(w * t, H_BAND_MAX * t), :],
+            sems.at[1, slot],
+        )
+
+    @pl.when(si == 0)
+    def _():
+        band_dma(0, 0).start()
+        halo_dma(0, 0).start()
+
+    @pl.when(si + 1 < s_count)
+    def _():
+        band_dma((si + 1) % 2, si + 1).start()
+        halo_dma((si + 1) % 2, si + 1).start()
+
+    slot = si % 2
+    band_dma(slot, si).wait()
+    halo_dma(slot, si).wait()
+    base = win_ref[bi * s_count + si]
+    hbase = hwin_ref[bi * s_count + si]
+    for gi in range(G_BAND):
+        acc = jnp.zeros((t, xw.shape[2]), jnp.float32)
+        for mi in range(m_cap):
+            idx = (bi * r + si * G_BAND + gi) * m_cap + mi
+            col = blk_cols_ref[idx]
+            # halo tiles map into the window tail through the halo base;
+            # padded slots (col 0, zero block) clamp anywhere legal
+            rel = jnp.where(
+                col >= ns_tiles, w + (col - ns_tiles - hbase), col - base
+            )
+            rel = jnp.clip(rel, 0, w + H_BAND_MAX - 1)
+            xt = xw[slot, pl.ds(pl.multiple_of(rel * t, t), t), :]
+            acc = acc + jnp.dot(
+                vals_ref[0, gi, mi].astype(xt.dtype), xt,
+                preferred_element_type=jnp.float32,
+            )
+        out_ref[0, pl.ds(gi * t, t), :] = (
+            acc[:, : out_ref.shape[2]].astype(out_ref.dtype)
+        )
+
+
 def bsr_matmul_banded(
     vals: jax.Array,       # [B, R, M, T, T] from bsr_build_blocks
     blk_cols: jax.Array,   # i32[B, R, M]
@@ -636,6 +785,9 @@ def bsr_matmul_banded(
     ns_rows: int,          # local rows (halo rows of x start here)
     halo: jax.Array | None = None,  # [B, H*T, F] halo columns as their own
                                     #   array — skips the local++halo concat
+    halo_win: jax.Array | None = None,  # i32[B, S] halo-band bases
+                                        #   (band_window_table_halo) — the
+                                        #   halo-windowed kernel variant
 ) -> jax.Array:
     """A @ x with G_BAND row tiles per grid step sharing one manually
     double-buffered column-tile window of x — the slide-scale variant of
@@ -663,6 +815,54 @@ def bsr_matmul_banded(
         x = jnp.pad(x, ((0, 0), (0, 0), (0, f_pad - f)))
         if halo is not None:
             halo = jnp.pad(halo, ((0, 0), (0, 0), (0, f_pad - f)))
+    itemsize_ = jnp.dtype(x.dtype).itemsize
+    if halo_win is not None:
+        # halo-WINDOWED variant: requires the separate halo array (the mega
+        # path always passes one) with at least H_BAND_MAX tiles
+        assert halo is not None and n == ns_rows
+        assert halo.shape[1] % t == 0
+        h_total = halo.shape[1] // t
+        assert h_total >= H_BAND_MAX, h_total
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(b, s_count),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+                pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+                pl.BlockSpec(
+                    (1, G_BAND, m, t, t),
+                    lambda bi, si, bc, wn, hw: (bi, si, 0, 0, 0),
+                ),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, G_BAND * t, f), lambda bi, si, bc, wn, hw: (bi, si, 0)
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((2, (W_BAND + H_BAND_MAX) * t, f_pad), x.dtype),
+                pltpu.SemaphoreType.DMA((2, 2)),
+            ],
+        )
+        return pl.pallas_call(
+            functools.partial(
+                _banded_halo_kernel, r=r, m_cap=m, ns_tiles=ns_tiles,
+            ),
+            out_shape=jax.ShapeDtypeStruct((b, r * t, f), x.dtype),
+            grid_spec=grid_spec,
+            interpret=_INTERPRET,
+            cost_estimate=pl.CostEstimate(
+                flops=2 * b * r * m * t * t * f_pad,
+                bytes_accessed=(
+                    b * r * m * t * t * jnp.dtype(vals.dtype).itemsize
+                    + b * s_count * (W_BAND + H_BAND_MAX) * t * f_pad
+                    * itemsize_
+                    + b * r * t * f * itemsize_
+                ),
+                transcendentals=0,
+            ),
+        )(
+            blk_cols.reshape(-1), win_base.reshape(-1),
+            halo_win.reshape(-1), x, halo, vals,
+        )
     if halo is None:
         h_tiles = n // t - ns_tiles
         xh, halo_off = x, ns_tiles * t

@@ -141,6 +141,35 @@ class TestAmortized:
         ref = ell_gather_sum(nbr, w, x)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
 
+    def test_streamed_f_split_matches(self, rng):
+        """The scoped-VMEM guard splits the streamed call along F (lane-
+        aligned) when the double-buffered operand stack would exceed
+        Mosaic's 16 MB limit — at f32 F=1140 M=12 the unsplit call is
+        16.12 MB and fails AOT compile on the real chip (2026-08-20 f32
+        patch-step backward). Values must be exactly the unsplit result:
+        the split only re-reads vals per part."""
+        b, n, k, f = 1, 256, 5, 256
+        nbr, mask = banded_graph(rng, n, k)
+        w = mask.copy()
+        c, m, _ = bk.bsr_block_meta(nbr, mask, 4)
+        nbr = jnp.asarray(nbr)[None]; w = jnp.asarray(w)[None]
+        cols = jnp.asarray(c)[None]; cmask = jnp.asarray(m)[None]
+        x = jnp.asarray(rng.normal(size=(b, n, f)).astype(np.float32))
+        vals = bk.bsr_build_blocks(nbr, w, cols, cmask)
+        old_res, old_budget = bk._RESIDENT_LIMIT, bk._SCOPED_VMEM_BUDGET
+        try:
+            bk._RESIDENT_LIMIT = 0          # force the streamed path
+            unsplit = bk.bsr_matmul(vals, cols, x)
+            bk._SCOPED_VMEM_BUDGET = 1      # force the F split
+            split = bk.bsr_matmul(vals, cols, x)
+        finally:
+            bk._RESIDENT_LIMIT = old_res
+            bk._SCOPED_VMEM_BUDGET = old_budget
+        np.testing.assert_array_equal(np.asarray(split), np.asarray(unsplit))
+        ref = ell_gather_sum(nbr, w, x)
+        np.testing.assert_allclose(np.asarray(split), np.asarray(ref),
+                                   atol=1e-4)
+
     def test_precomp_adjacency_in_model(self, rng):
         """make_stage1_adj with pallas impl must carry vals and produce the
         same matvec/quadform as the XLA factored path."""
