@@ -224,6 +224,10 @@ def bsr_local_matmul(
     win_t: jax.Array,      # i32[1, S_t] or [1, 0]
     h: jax.Array,          # [Ns, F] local rows
     halo: jax.Array,       # [NC - Ns, F] exchanged halo rows (zero-padded)
+    win_halo: jax.Array | None = None,  # i32[1, S] halo-window bases
+                                        #   (band_window_table_halo) or
+                                        #   [1, 0]/None — multi-shard halos
+                                        #   too big for the resident tail
 ) -> jax.Array:
     """Rectangular per-shard matmul for the mega path: out[Ns, F] =
     A_loc @ [h ++ halo] where A_loc is [Ns x NC] (halo columns are extra
@@ -246,19 +250,25 @@ def bsr_local_matmul(
         # wide F only: the banded window cuts x traffic (the F=1140 A@S
         # cost); narrow legs are vals-DMA-bound and would pay the window
         # kernel's internal lane-pad of x for nothing
+        hw = (
+            win_halo if win_halo is not None and win_halo.shape[-1]
+            else None
+        )
         return bsr_matmul_banded(
             vals, blk_cols, win, h[None], ns_rows=h.shape[0],
-            halo=halo[None],
+            halo=halo[None], halo_win=hw,
         )[0]
     xx = jnp.concatenate([h, halo], axis=0)
     return bsr_matmul(vals, blk_cols, xx[None])[0]
 
 
-def _bsr_local_fwd(vals, blk_cols, win, vals_t, blk_cols_t, win_t, h, halo):
+def _bsr_local_fwd(vals, blk_cols, win, vals_t, blk_cols_t, win_t, h, halo,
+                   win_halo=None):
     out = bsr_local_matmul(
-        vals, blk_cols, win, vals_t, blk_cols_t, win_t, h, halo
+        vals, blk_cols, win, vals_t, blk_cols_t, win_t, h, halo, win_halo
     )
-    return out, (vals, blk_cols, win, vals_t, blk_cols_t, win_t, h.shape[0])
+    return out, (vals, blk_cols, win, vals_t, blk_cols_t, win_t, h.shape[0],
+                 win_halo)
 
 
 def _bsr_local_bwd(res, g):
@@ -266,7 +276,7 @@ def _bsr_local_bwd(res, g):
         BAND_MIN_F, bsr_matmul, bsr_matmul_banded,
     )
 
-    vals, blk_cols, win, vals_t, blk_cols_t, win_t, ns = res
+    vals, blk_cols, win, vals_t, blk_cols_t, win_t, ns, win_halo = res
     if win_t.shape[-1] and g.shape[-1] >= BAND_MIN_F:
         # transpose x = the forward's row space: no halo column tiles
         d_xx = bsr_matmul_banded(
@@ -277,7 +287,8 @@ def _bsr_local_bwd(res, g):
     z = jax.tree.map(
         jnp.zeros_like, (vals, blk_cols, win, vals_t, blk_cols_t, win_t)
     )
-    return (*z, d_xx[:ns], d_xx[ns:])
+    z_hw = None if win_halo is None else jnp.zeros_like(win_halo)
+    return (*z, d_xx[:ns], d_xx[ns:], z_hw)
 
 
 bsr_local_matmul.defvjp(_bsr_local_fwd, _bsr_local_bwd)

@@ -155,6 +155,10 @@ class ShardedBsrTables:
     # matvec then uses the streamed kernel instead of the x-window one
     win_base: np.ndarray | None = None    # i32[D, R // G_BAND]
     win_base_t: np.ndarray | None = None  # i32[D, RC // G_BAND]
+    # halo-window bases (bsr_kernel.band_window_table_halo) for the forward
+    # direction when the halo exceeds the resident tail (multi-shard) —
+    # None means win_base's kernel uses the resident-tail form
+    win_halo: np.ndarray | None = None    # i32[D, R // G_BAND]
 
 
 def build_bsr_tables(
@@ -247,11 +251,14 @@ def build_bsr_tables(
     blk_mask_t = np.stack([mm[1][:, :mt] for mm in metas_t])
 
     # banded-window bases per direction: all shards must band (shard_map
-    # needs uniform shapes); the forward's halo column tiles ride in the
-    # window's resident tail, gated at H_BAND_MAX
+    # needs uniform shapes). Forward halo columns: resident tail when they
+    # fit in H_BAND_MAX tiles (single-shard / tiny halos), per-super-tile
+    # halo WINDOWS otherwise (round 5 — the multi-shard capacity path,
+    # where halos are thousands of rows but globally spatially sorted)
     from cgcnet_tpu.ops.pallas.bsr_kernel import (
         H_BAND_MAX,
         band_window_table,
+        band_window_table_halo,
     )
 
     ns_tiles = ns // tile
@@ -264,11 +271,23 @@ def build_bsr_tables(
             outs.append(w)
         return np.stack(outs)
 
-    win_base = (
-        _wins(blk_cols, blk_mask, ns_tiles)
-        if nc // tile - ns_tiles <= H_BAND_MAX
-        else None
-    )
+    h_tiles_total = nc // tile - ns_tiles
+    win_halo = None
+    if h_tiles_total <= H_BAND_MAX:
+        win_base = _wins(blk_cols, blk_mask, ns_tiles)
+    else:
+        locs, halos = [], []
+        for di in range(d):
+            tabs = band_window_table_halo(
+                blk_cols[di], blk_mask[di], ns_tiles, h_tiles_total
+            )
+            if tabs is None:
+                locs = None
+                break
+            locs.append(tabs[0])
+            halos.append(tabs[1])
+        win_base = np.stack(locs) if locs is not None else None
+        win_halo = np.stack(halos) if locs is not None else None
     # transpose x = the forward's row space (no halo columns)
     win_base_t = _wins(blk_cols_t, blk_mask_t, ns_tiles)
 
@@ -282,6 +301,7 @@ def build_bsr_tables(
         nc=nc,
         win_base=win_base,
         win_base_t=win_base_t,
+        win_halo=win_halo,
     )
 
 

@@ -86,6 +86,80 @@ def test_banded_separate_halo_matches_concat(rng):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=0)
 
 
+def make_banded_big_halo(rng, r=16, m=4, ns_tiles=16, h_total=12):
+    """Band structure whose halo columns span MANY tiles (> H_BAND_MAX) but
+    stay locally narrow per super tile — the multi-shard deployment shape:
+    each super tile's remote neighbours are spatially near, so they land in
+    a drifting narrow strip of the (globally sorted) halo array."""
+    blk_cols = np.zeros((1, r, m), np.int32)
+    blk_mask = np.zeros((1, r, m), np.float32)
+    s_count = r // bk.G_BAND
+    for ri in range(r):
+        lo, hi = max(0, ri - 2), min(ns_tiles - 1, ri + 1)
+        cols = sorted(
+            rng.choice(range(lo, hi + 1), size=2, replace=False).tolist()
+        )
+        # one halo column per row, drifting through the halo space with the
+        # super-tile index (span per super tile <= 2 < H_BAND_MAX)
+        si = ri // bk.G_BAND
+        drift = (si * (h_total - 2)) // max(s_count - 1, 1)
+        hcol = ns_tiles + min(drift + (ri % 2), h_total - 1)
+        blk_cols[0, ri, :3] = cols + [hcol]
+        blk_mask[0, ri, :3] = 1.0
+    vals = (
+        rng.normal(size=(1, r, m, T, T)).astype(np.float32)
+        * blk_mask[..., None, None]
+    )
+    return blk_cols, blk_mask, vals
+
+
+def test_banded_halo_window_matches_streamed(rng):
+    """Halo-WINDOWED banded kernel (round 5) == streamed kernel when the
+    halo exceeds the resident-tail cap: the multi-shard capacity path.
+    Checks the resident-form table correctly refuses this shape and the
+    halo-window table accepts it."""
+    ns_tiles, h_total, f = 16, 12, 70
+    blk_cols, blk_mask, vals = make_banded_big_halo(
+        rng, ns_tiles=ns_tiles, h_total=h_total
+    )
+    x = rng.normal(size=(1, ns_tiles * T, f)).astype(np.float32)
+    halo = rng.normal(size=(1, h_total * T, f)).astype(np.float32)
+    tabs = bk.band_window_table_halo(
+        blk_cols[0], blk_mask[0], ns_tiles, h_total
+    )
+    assert tabs is not None
+    win, hwin = tabs
+    xx = np.concatenate([x, halo], axis=1)
+    ref = bk.bsr_matmul(jnp.asarray(vals), jnp.asarray(blk_cols),
+                        jnp.asarray(xx))
+    out = bk.bsr_matmul_banded(
+        jnp.asarray(vals), jnp.asarray(blk_cols), jnp.asarray(win)[None],
+        jnp.asarray(x), ns_rows=ns_tiles * T, halo=jnp.asarray(halo),
+        halo_win=jnp.asarray(hwin)[None],
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4)
+
+
+def test_halo_window_table_rejects_wide_halo_band(rng):
+    """A super tile touching halo tiles further apart than H_BAND_MAX must
+    reject (fallback to streamed), and a resident-size halo defers to the
+    resident-tail form."""
+    ns_tiles, h_total = 16, 12
+    blk_cols, blk_mask, _ = make_banded_big_halo(
+        rng, ns_tiles=ns_tiles, h_total=h_total
+    )
+    blk_cols[0, 0, 0] = ns_tiles            # halo tile 0
+    blk_cols[0, 1, 0] = ns_tiles + h_total - 1  # and tile 11 in one group
+    blk_mask[0, :2, 0] = 1.0
+    assert bk.band_window_table_halo(
+        blk_cols[0], blk_mask[0], ns_tiles, h_total
+    ) is None
+    # halo small enough for the resident tail -> use band_window_table
+    assert bk.band_window_table_halo(
+        blk_cols[0], blk_mask[0], ns_tiles, bk.H_BAND_MAX - 1
+    ) is None
+
+
 def test_window_table_rejects_wide_band(rng):
     """A row-tile group whose columns span more than W_BAND tiles must
     return None (caller falls back to the streamed kernel)."""
