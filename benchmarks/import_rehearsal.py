@@ -94,6 +94,28 @@ def generate_reference_tree(
     }
 
 
+def _val_curve(run_dir: str | None) -> list[dict]:
+    """Per-epoch val metrics from a fold's metrics.jsonl (kind == 'val')."""
+    if not run_dir:
+        return []
+    path = Path(run_dir) / "metrics.jsonl"
+    if not path.exists():
+        return []
+    curve = []
+    for line in path.read_text().splitlines():
+        rec = json.loads(line)
+        if rec.get("kind") == "val":
+            curve.append(
+                {
+                    "epoch": rec.get("epoch"),
+                    "img_acc": rec.get("img_acc"),
+                    "binary_acc": rec.get("binary_acc"),
+                    "patch_acc": rec.get("patch_acc"),
+                }
+            )
+    return curve
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--cpu", action="store_true")
@@ -110,7 +132,7 @@ def main() -> int:
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--workdir", default=None, help="keep the tree here")
     ap.add_argument(
-        "--out", default=str(Path(__file__).parent / "import_rehearsal_r4.json")
+        "--out", default=str(Path(__file__).parent / "import_rehearsal_r5.json")
     )
     args = ap.parse_args()
 
@@ -176,6 +198,11 @@ def main() -> int:
         "folds": {
             str(k): {m: float(v[m]) for m in ("img_acc", "binary_acc", "patch_acc")}
             for k, v in cv["folds"].items()
+        },
+        # per-epoch validation curves (round-5: convergence evidence, not
+        # just endpoint plumbing) — read back from each fold's metrics.jsonl
+        "curves": {
+            str(k): _val_curve(v.get("run_dir")) for k, v in cv["folds"].items()
         },
     }
     print(f"   {result['crossval']}")
