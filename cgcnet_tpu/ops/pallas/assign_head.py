@@ -270,13 +270,26 @@ def _kernel_pre(nn_ref, x12_ref, p_ref, k12_ref, k3f_ref, const_ref,
     s = e / jnp.sum(e, axis=-1, keepdims=True)
     rows = ri * tile + jax.lax.broadcasted_iota(jnp.int32, (tile, 1), 0)
     s = s * (rows < nn_ref[bi]).astype(jnp.float32)
+    c_out = s_ref.shape[-1]
+    if c_out != s.shape[-1]:
+        # lane-padded emission (c_out = next 128 multiple): EXACT-zero pad
+        # columns, so downstream matmuls/softmax-VJP algebra see the same
+        # values and the [N, C]->[N, c_out] jnp.pad that fed the banded
+        # kernel's aligned-minor manual DMA (2 x 0.69 ms at 100k nuclei,
+        # roofline_r4 §4) disappears — S is born aligned
+        s = jnp.concatenate(
+            [s, jnp.zeros((tile, c_out - s.shape[-1]), s.dtype)], axis=-1
+        )
     s_ref[0] = s.astype(s_ref.dtype)
 
 
-def _fwd_call_pre(x12, p, k12, k3f, const, mask, tile: int | None = None):
+def _fwd_call_pre(x12, p, k12, k3f, const, mask, tile: int | None = None,
+                  c_out: int | None = None):
     from jax.experimental.pallas import tpu as pltpu
 
     b, n, c = p.shape
+    co = c if c_out is None else c_out
+    assert co >= c, (co, c)
     f12 = x12.shape[-1]
     tile = _pick_tile(n) if tile is None else tile
     assert n % tile == 0, (n, tile)
@@ -292,16 +305,16 @@ def _fwd_call_pre(x12, p, k12, k3f, const, mask, tile: int | None = None):
             pl.BlockSpec((c, c), lambda bi, ri, nn: (0, 0)),
             pl.BlockSpec((1, c), lambda bi, ri, nn: (0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, tile, c), lambda bi, ri, nn: (bi, ri, 0)),
+        out_specs=pl.BlockSpec((1, tile, co), lambda bi, ri, nn: (bi, ri, 0)),
     )
     s = pl.pallas_call(
         functools.partial(_kernel_pre, tile=tile),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((b, n, c), dt),
+        out_shape=jax.ShapeDtypeStruct((b, n, co), dt),
         interpret=_interpret(),
         cost_estimate=pl.CostEstimate(
             flops=2 * b * n * c * (f12 + c),
-            bytes_accessed=b * n * (f12 + 2 * c) * jnp.dtype(dt).itemsize,
+            bytes_accessed=b * n * (f12 + c + co) * jnp.dtype(dt).itemsize,
             transcendentals=b * n * (c + 1),
         ),
     )(nn, x12, p, k12.astype(dt), k3f.astype(dt), const[None, :])
@@ -521,9 +534,10 @@ def _atf_bwd(eps, res, cts):
 assign_tail_train.defvjp(_atf_fwd, _atf_bwd)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10, 11))
 def assign_tail_train_psum(
-    x12, p, k12, k3, lin_bias, bn_scale, bn_bias, mask, n, eps, axis
+    x12, p, k12, k3, lin_bias, bn_scale, bn_bias, mask, n, eps, axis,
+    c_out=None,
 ):
     """``assign_tail_train`` with cross-shard BN statistics: the one-pass
     (sum, sumsq) from the stats kernel are psum'd over ``axis`` between the
@@ -531,9 +545,19 @@ def assign_tail_train_psum(
     mega path's SyncBatchNorm semantics (parallel/mega_model._bn_moments)
     inside the fused tail. ``n`` must be the psum'd global row count.
 
-    The backward is ``_atf_bwd`` verbatim: the cotangent of a psum'd sum
-    w.r.t. each shard's local rows is the (replicated) global cotangent,
-    and every other residual is shard-local. Runs under shard_map.
+    ``c_out`` (static, >= C or None): emit S lane-PADDED to ``c_out``
+    columns with exact-zero pads (round 5). The mega path passes the next
+    128 multiple so the banded A@S kernel's aligned-minor manual DMA needs
+    no [N, C] -> [N, c_out] pad pass, forward or backward (2 x 0.69 ms at
+    100k nuclei, roofline_r4 §4). Zero pads are invisible to the
+    softmax-VJP algebra: dl's pad columns are s*(...) = 0, so every
+    contraction against them vanishes — the backward runs at the padded
+    width with zero-padded kernels and trims the [C]-class grads.
+
+    The backward is ``_atf_bwd`` with psum routing: the cotangent of a
+    psum'd sum w.r.t. each shard's local rows is the (replicated) global
+    cotangent, and every other residual is shard-local. Runs under
+    shard_map.
     """
     ssum, ssq = _stats_call(p, mask)
     ssum = jax.lax.psum(ssum, axis)
@@ -541,25 +565,25 @@ def assign_tail_train_psum(
     k3f, const, mean, var = _tail_algebra(
         ssum, ssq, k3, lin_bias, bn_scale, bn_bias, n, eps
     )
-    s, s_t = _fwd_call_pre(x12, p, k12, k3f, const, mask)
+    s, s_t = _fwd_call_pre(x12, p, k12, k3f, const, mask, c_out=c_out)
     return s, s_t, mean, var
 
 
 def _atfp_fwd(x12, p, k12, k3, lin_bias, bn_scale, bn_bias, mask, n, eps,
-              axis):
+              axis, c_out=None):
     ssum, ssq = _stats_call(p, mask)
     ssum = jax.lax.psum(ssum, axis)
     ssq = jax.lax.psum(ssq, axis)
     k3f, const, mean, var = _tail_algebra(
         ssum, ssq, k3, lin_bias, bn_scale, bn_bias, n, eps
     )
-    s, s_t = _fwd_call_pre(x12, p, k12, k3f, const, mask)
+    s, s_t = _fwd_call_pre(x12, p, k12, k3f, const, mask, c_out=c_out)
     res = (x12, p, k12, k3f, s, mask, ssum, ssq, k3, lin_bias,
            bn_scale, bn_bias, n)
     return (s, s_t, mean, var), res
 
 
-def _atfp_bwd(eps, axis, res, cts):
+def _atfp_bwd(eps, axis, c_out, res, cts):
     """Backward under shard_map. Cotangent routing differs from _atf_bwd in
     WHERE the cross-shard sums go:
 
@@ -571,29 +595,40 @@ def _atfp_bwd(eps, axis, res, cts):
       LOCAL per-shard contributions — shard_map's transpose psums replicated
       operands' cotangents itself, so psum'ing here would double-count.
 
+    With ``c_out`` set, s/ds carry exact-zero pad columns: the N-sized
+    chains (dl, dx12, dh) run at the padded width against zero-padded
+    kernels — slicing dl itself would reintroduce the relayout pass the
+    padding exists to kill — and only the [C]-class reductions
+    (dk12, dk3f, dconst) trim, which is exact because dl's pad columns are
+    identically zero.
+
     mean/var cotangents are assumed zero (running stats are not
     differentiated — same contract as assign_tail_train's docstring).
     """
     (x12, p, k12, k3f, s, mask, ssum, ssq, k3, lin_bias,
      bn_scale, bn_bias, n) = res
     ds, ds_t, dmean, dvar = cts
+    c = k3f.shape[0]
+    pad = (s.shape[-1] - c) if c_out is not None else 0
     g = ds + jnp.swapaxes(ds_t, 1, 2)
     gf = g.astype(jnp.float32)
     sf = s.astype(jnp.float32)
     dl32 = sf * (gf - jnp.sum(gf * sf, axis=-1, keepdims=True))
     dl = dl32.astype(s.dtype)
-    dx12 = dl @ k12.astype(dl.dtype).T
+    k12e = jnp.pad(k12, ((0, 0), (0, pad))) if pad else k12
+    k3fe = jnp.pad(k3f, ((0, 0), (0, pad))) if pad else k3f
+    dx12 = dl @ k12e.astype(dl.dtype).T
     dk12 = jnp.einsum(
         "bnf,bnc->fc", x12, dl, preferred_element_type=jnp.float32
-    ).astype(k12.dtype)
-    dconst = jnp.sum(dl32, axis=(0, 1))
-    dh = dl @ k3f.astype(dl.dtype).T
+    )[:, :c].astype(k12.dtype)
+    dconst = jnp.sum(dl32, axis=(0, 1))[:c]
+    dh = dl @ k3fe.astype(dl.dtype).T
     pf = p.astype(jnp.float32)
     _, h32 = _rnorm_h(pf)
     h = (h32 * mask[..., None].astype(jnp.float32)).astype(p.dtype)
     dk3f = jnp.einsum(
         "bnc,bnd->cd", h, dl, preferred_element_type=jnp.float32
-    )
+    )[:, :c]
     _, alg_vjp = jax.vjp(
         lambda su, sq, kk, lb, bs, bb: _tail_algebra(
             su, sq, kk, lb, bs, bb, n, eps

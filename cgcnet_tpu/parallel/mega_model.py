@@ -877,11 +877,26 @@ def mega_forward(
                             vm[None], n_glob, 1e-5, axis, ch,
                         )
                     else:
+                        # emit S lane-padded when the banded A@S kernel is
+                        # in play (round 5): pad columns are exact zeros
+                        # born inside the kernel, so the banded legs'
+                        # aligned-minor manual DMA needs no [N, C] pad
+                        # pass fwd or bwd (2 x 0.69 ms at 100k,
+                        # roofline_r4 §4); contractions stay exact and the
+                        # pooled outputs trim once after the psum below
+                        d1c = k3.shape[1]
+                        band_on = (
+                            inp.win_base is not None
+                            and inp.win_base.shape[-1] > 0
+                            and jnp.dtype(dt).itemsize <= 2
+                        )
+                        c_pad = -(-d1c // 128) * 128
+                        co = c_pad if (band_on and c_pad != d1c) else None
                         s, _, mean, var = ah.assign_tail_train_psum(
                             x12[None], p_raw[None], k12, k3, lin_bias,
                             pool_params["bn3"]["scale"],
                             pool_params["bn3"]["bias"],
-                            vm[None], n_glob, 1e-5, axis,
+                            vm[None], n_glob, 1e-5, axis, co,
                         )
                     # running-stat update: same blend as _bn_moments
                     unbiased = var * n_glob / jnp.maximum(n_glob - 1.0, 1.0)
@@ -949,6 +964,13 @@ def mega_forward(
                     jnp.einsum("nc,nd->cd", s, a_s),
                 )
             x_pool, adj_pool = jax.lax.psum((x_pool, adj_pool), axis)
+            if x_pool.shape[0] != d1:
+                # lane-padded S (see the c_out emission above): the pooled
+                # rows/cols past d1 are exact zeros — trim once, AFTER the
+                # psum (the trim's VJP zero-pads the cotangents back, which
+                # is exactly the padded backward's contract)
+                x_pool = x_pool[:d1]
+                adj_pool = adj_pool[:d1, :d1]
             return x_pool, adj_pool, so
 
         if remat:

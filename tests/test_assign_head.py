@@ -571,6 +571,69 @@ def test_chunked_lin_tail_matches_composed(rng):
         )
 
 
+def test_psum_tail_padded_emission_matches_narrow(rng):
+    """assign_tail_train_psum(c_out=C_pad) == the narrow call zero-padded:
+    forward S (pad columns exactly zero) and ALL gradients, with wide
+    cotangents flowing through the padded backward (the banded-kernel
+    lane-pad elimination path, round 5)."""
+    from jax.sharding import Mesh, PartitionSpec as P
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs 2 virtual devices")
+    b, n, c, f12, co = 1, 512, 36, 8, 64
+    x12 = jnp.asarray(rng.normal(size=(b, n, f12)).astype(np.float32))
+    p = jnp.asarray(rng.normal(size=(b, n, c)).astype(np.float32))
+    k12 = jnp.asarray(rng.normal(size=(f12, c)).astype(np.float32))
+    k3 = jnp.asarray(rng.normal(size=(c, c)).astype(np.float32) * 0.2)
+    lb = jnp.asarray(rng.normal(size=(c,)).astype(np.float32))
+    sc = jnp.ones((c,), jnp.float32)
+    bi = jnp.zeros((c,), jnp.float32)
+    mask = jnp.ones((b, n), jnp.float32)
+    mesh = Mesh(np.array(jax.devices()[:2]), ("graph",))
+
+    def run(c_out):
+        def inner(x12s, ps, masks, k3s):
+            n_glob = jax.lax.psum(jnp.sum(masks), "graph")
+            return ah.assign_tail_train_psum(
+                x12s, ps, k12, k3s, lb, sc, bi, masks, n_glob, 1e-5,
+                "graph", c_out,
+            )
+
+        out_spec_s = P(None, "graph")
+        return jax.shard_map(
+            inner, mesh=mesh,
+            in_specs=(P(None, "graph"), P(None, "graph"),
+                      P(None, "graph"), P()),
+            out_specs=(out_spec_s, P(None, None, "graph"), P(), P()),
+            check_vma=False,
+        )
+
+    s_w, _, mean_w, var_w = run(co)(x12, p, mask, k3)
+    s_n, _, mean_n, var_n = run(None)(x12, p, mask, k3)
+    assert s_w.shape == (b, n, co)
+    np.testing.assert_array_equal(np.asarray(s_w[..., c:]), 0.0)
+    np.testing.assert_array_equal(np.asarray(s_w[..., :c]), np.asarray(s_n))
+    np.testing.assert_array_equal(np.asarray(mean_w), np.asarray(mean_n))
+    np.testing.assert_array_equal(np.asarray(var_w), np.asarray(var_n))
+
+    # grads: drive the WIDE output with a cotangent that also touches the
+    # pad columns (their effect must vanish — pad cols of S are constant 0)
+    w_probe = jnp.asarray(rng.normal(size=(b, n, co)).astype(np.float32))
+    loss_w = lambda pv, kv: jnp.sum(
+        run(co)(x12, pv, mask, kv)[0] * w_probe
+    )
+    loss_n = lambda pv, kv: jnp.sum(
+        run(None)(x12, pv, mask, kv)[0] * w_probe[..., :c]
+    )
+    gw = jax.grad(loss_w, argnums=(0, 1))(p, k3)
+    gn = jax.grad(loss_n, argnums=(0, 1))(p, k3)
+    for name, a, b_ in zip(("dp", "dk3"), gw, gn):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b_), atol=1e-5, rtol=1e-5,
+            err_msg=name,
+        )
+
+
 def test_chunked_lin_tail_psum_matches_single_device(rng):
     """Lin-absorbing chunked variant under a 2-shard shard_map == the
     single-device composed reference (conv3 lin -> unchunked tail) on the
