@@ -62,28 +62,34 @@ def main() -> int:
     from cgcnet_tpu.parallel.mesh import make_mesh
     from cgcnet_tpu.parallel.slide_setup import synthetic_slide
 
+    from cgcnet_tpu.parallel.slide_setup import spatial_sort_order
+
     cfg = Config()
-    _, coords = synthetic_slide(args.nuclei)
+    _, coords0 = synthetic_slide(args.nuclei)
     result: dict = {"nuclei": args.nuclei}
 
-    # same construction slide_setup.build_slide_inputs performs: spatial
-    # band-sort, grid-hash radius graph, self-pointing zero-mask pad rows
-    band = np.floor(coords[:, 0] / cfg.data.max_edge_distance)
-    coords = coords[np.lexsort((coords[:, 1], band))]
-    t0 = time.perf_counter()
-    if native.available():
-        nbr, mask = native.radius_knn(
-            coords, cfg.data.max_edge_distance, cfg.data.max_neighbours
-        )
-    else:
-        nbr, mask = radius_knn_np(
-            coords, cfg.data.max_edge_distance, cfg.data.max_neighbours
-        )
-    t_graph = time.perf_counter() - t0
-    result["edges"] = int(mask.sum())
-    result["graph_build_s"] = round(t_graph, 2)
-
     for shards in (2, 4):
+        # same construction slide_setup.build_slide_inputs performs:
+        # shard-aligned stripe band-sort (round 5 — makes the banded
+        # window's span ~ sqrt(N)/shards so multi-shard banding engages),
+        # grid-hash radius graph, self-pointing zero-mask pad rows
+        coords = coords0[
+            spatial_sort_order(
+                coords0, cfg.data.max_edge_distance, stripes=shards
+            )
+        ]
+        t0 = time.perf_counter()
+        if native.available():
+            nbr, mask = native.radius_knn(
+                coords, cfg.data.max_edge_distance, cfg.data.max_neighbours
+            )
+        else:
+            nbr, mask = radius_knn_np(
+                coords, cfg.data.max_edge_distance, cfg.data.max_neighbours
+            )
+        t_graph = time.perf_counter() - t0
+        result["edges"] = int(mask.sum())
+        result["graph_build_s"] = round(t_graph, 2)
         mesh = make_mesh(1, shards)
         q = 128 * G_BAND * shards
         cap = -(-args.nuclei // q) * q
@@ -118,7 +124,7 @@ def main() -> int:
         # the final representation. Measured max is ~25% of the bound.
         eps = 2.0 ** -8
         k_row = maskp.sum(-1, keepdims=True)  # real terms per row
-        abs_sum = np.einsum("nk,nkf->nf", maskp, np.abs(xo))
+        abs_sum = np.einsum("nk,nkf->nf", maskp, np.abs(xo)[nbrp])
         bound = eps * np.maximum(k_row - 1, 1) * abs_sum + eps * np.abs(
             oracle
         ) + 1e-6
@@ -198,7 +204,7 @@ def main() -> int:
             so = np.asarray(sb, np.float32)
             off_mask = maskp * (nbrp != np.arange(cap)[:, None])
             oracle_leg = np.einsum("nk,nkf->nf", off_mask, so[nbrp])
-            abs_leg = np.einsum("nk,nkf->nf", off_mask, np.abs(so))
+            abs_leg = np.einsum("nk,nkf->nf", off_mask, np.abs(so)[nbrp])
             k_leg = off_mask.sum(-1, keepdims=True)
             bound_leg = eps * np.maximum(k_leg - 1, 1) * abs_leg + eps * (
                 np.abs(oracle_leg)

@@ -246,7 +246,12 @@ def bsr_local_matmul(
         BAND_MIN_F, bsr_matmul, bsr_matmul_banded,
     )
 
-    if win.shape[-1] and h.shape[-1] >= BAND_MIN_F:
+    # the banded kernels' double-buffered (W_BAND + H_BAND_MAX)-tile x
+    # window is VMEM-sized for <=2-byte activations (bf16 production path);
+    # at f32 the scratch alone is ~23.6 MB > the 16 MB scoped limit
+    # (measured: the r5 halo-window probe failed AOT compile at f32)
+    band_dtype_ok = jnp.dtype(h.dtype).itemsize <= 2
+    if win.shape[-1] and h.shape[-1] >= BAND_MIN_F and band_dtype_ok:
         # wide F only: the banded window cuts x traffic (the F=1140 A@S
         # cost); narrow legs are vals-DMA-bound and would pay the window
         # kernel's internal lane-pad of x for nothing
@@ -277,7 +282,8 @@ def _bsr_local_bwd(res, g):
     )
 
     vals, blk_cols, win, vals_t, blk_cols_t, win_t, ns, win_halo = res
-    if win_t.shape[-1] and g.shape[-1] >= BAND_MIN_F:
+    if win_t.shape[-1] and g.shape[-1] >= BAND_MIN_F \
+            and jnp.dtype(g.dtype).itemsize <= 2:
         # transpose x = the forward's row space: no halo column tiles
         d_xx = bsr_matmul_banded(
             vals_t, blk_cols_t, win_t, g[None], ns_rows=g.shape[0]

@@ -120,6 +120,37 @@ def _build_part_tables(nbrp, maskp, shards, caps, want_bsr):
     return part, tables, grown
 
 
+def spatial_sort_order(
+    coords: np.ndarray, band_px: float, stripes: int = 1
+) -> np.ndarray:
+    """Spatial band-sort order; ``stripes`` > 1 sorts within equal-count
+    y-stripes first (round 5).
+
+    The banded BSR kernel's window must cover a row's x-band neighbours,
+    and the x-band length grows with the FULL slide height — span ~
+    sqrt(N_total) — so banding rejects at ~300k+ nuclei NO MATTER how the
+    graph is sharded (measured: 600k x 2/4 shards rejected,
+    shard_scale_r4.json). With ``stripes`` set to the shard count, shards
+    align with y-stripes: each shard's internal band length shrinks by the
+    stripe factor (span ~ sqrt(N)/stripes), and cross-stripe edges become
+    cross-SHARD edges — halo slots, which the halo-WINDOWED banded kernel
+    streams through its second per-super-tile window
+    (bsr_kernel._banded_halo_kernel; the halo slot order is globally
+    y-then-band sorted per source stripe, so a group's halo span is a few
+    dozen slots)."""
+    n = len(coords)
+    band = np.floor(coords[:, 0] / band_px)
+    if stripes <= 1:
+        return np.lexsort((coords[:, 1], band))
+    y_order = np.argsort(coords[:, 1], kind="stable")
+    bounds = (np.arange(1, stripes) * n) // stripes
+    stripe_id = np.empty(n, np.int32)
+    stripe_id[y_order] = np.searchsorted(
+        bounds, np.arange(n), side="right"
+    ).astype(np.int32)
+    return np.lexsort((coords[:, 1], band, stripe_id))
+
+
 def build_slide_inputs(cfg, feats, coords, shards, mesh,
                        caps: SlideCaps | None = None) -> SlideBuild:
     """feats [N, F_raw], coords [N, 2] -> sharded MegaInputs on ``mesh``.
@@ -140,8 +171,9 @@ def build_slide_inputs(cfg, feats, coords, shards, mesh,
     mean, std = stats_mod.reference_stats(
         cfg.data.cross_val, cfg.data.feature_type
     )
-    band = np.floor(coords[:, 0] / cfg.data.max_edge_distance)
-    order = np.lexsort((coords[:, 1], band))
+    order = spatial_sort_order(
+        coords, cfg.data.max_edge_distance, stripes=shards
+    )
     feats, coords = feats[order], coords[order]
     x = (np.concatenate([feats, coords], -1) - mean) / std
 
