@@ -73,9 +73,12 @@ def main() -> int:
         # shard-aligned stripe band-sort (round 5 — makes the banded
         # window's span ~ sqrt(N)/shards so multi-shard banding engages),
         # grid-hash radius graph, self-pointing zero-mask pad rows
+        q = 128 * G_BAND * shards
+        cap = -(-args.nuclei // q) * q
         coords = coords0[
             spatial_sort_order(
-                coords0, cfg.data.max_edge_distance, stripes=shards
+                coords0, cfg.data.max_edge_distance, stripes=shards,
+                shard_rows=cap // shards,
             )
         ]
         t0 = time.perf_counter()
@@ -91,8 +94,6 @@ def main() -> int:
         result["edges"] = int(mask.sum())
         result["graph_build_s"] = round(t_graph, 2)
         mesh = make_mesh(1, shards)
-        q = 128 * G_BAND * shards
-        cap = -(-args.nuclei // q) * q
         k = nbr.shape[1]
         nbrp = np.tile(np.arange(cap, dtype=np.int32)[:, None], (1, k))
         maskp = np.zeros((cap, k), np.float32)
@@ -170,9 +171,9 @@ def main() -> int:
             bkmod.set_interpret(True)
             try:
                 def leg(vals, cols, win, vals_t, cols_t, win_t, hw, h,
-                        req_i, req_m):
+                        nbr_t, req_i, req_m):
                     halo = _halo_exchange(h, req_i, req_m, "graph")
-                    ncs = cols_t.shape[0]
+                    ncs = nbr_t.shape[0]
                     hp = ncs - h.shape[0] - halo.shape[0]
                     if hp:
                         halo = jnp.concatenate(
@@ -187,7 +188,7 @@ def main() -> int:
 
                 out_leg = jax.jit(jax.shard_map(
                     leg, mesh=mesh,
-                    in_specs=(P("graph"),) * 8 + (P("graph"), P("graph")),
+                    in_specs=(P("graph"),) * 8 + (P("graph"),) * 3,
                     out_specs=P("graph"),
                     check_vma=False,
                 ))(
@@ -196,7 +197,7 @@ def main() -> int:
                     (inp_b.win_halo if inp_b.win_halo is not None
                      and inp_b.win_halo.shape[-1]
                      else jnp.zeros((shards, 0), jnp.int32)),
-                    sb, inp_b.req_idx, inp_b.req_mask,
+                    sb, inp_b.nbr_t, inp_b.req_idx, inp_b.req_mask,
                 )
             finally:
                 bkmod.set_interpret(was_interp)

@@ -228,6 +228,12 @@ def bsr_local_matmul(
                                         #   (band_window_table_halo) or
                                         #   [1, 0]/None — multi-shard halos
                                         #   too big for the resident tail
+    nbr_t_h: jax.Array | None = None,   # i32[H, KT] transpose ELL lists of
+                                        #   the HALO rows — set when the
+                                        #   transpose blocks cover local
+                                        #   rows only (hybrid transpose,
+                                        #   mega_graph.build_bsr_tables)
+    mask_t_h: jax.Array | None = None,  # f32[H, KT]
 ) -> jax.Array:
     """Rectangular per-shard matmul for the mega path: out[Ns, F] =
     A_loc @ [h ++ halo] where A_loc is [Ns x NC] (halo columns are extra
@@ -268,12 +274,13 @@ def bsr_local_matmul(
 
 
 def _bsr_local_fwd(vals, blk_cols, win, vals_t, blk_cols_t, win_t, h, halo,
-                   win_halo=None):
+                   win_halo=None, nbr_t_h=None, mask_t_h=None):
     out = bsr_local_matmul(
-        vals, blk_cols, win, vals_t, blk_cols_t, win_t, h, halo, win_halo
+        vals, blk_cols, win, vals_t, blk_cols_t, win_t, h, halo, win_halo,
+        nbr_t_h, mask_t_h,
     )
     return out, (vals, blk_cols, win, vals_t, blk_cols_t, win_t, h.shape[0],
-                 win_halo)
+                 win_halo, nbr_t_h, mask_t_h)
 
 
 def _bsr_local_bwd(res, g):
@@ -281,7 +288,8 @@ def _bsr_local_bwd(res, g):
         BAND_MIN_F, bsr_matmul, bsr_matmul_banded,
     )
 
-    vals, blk_cols, win, vals_t, blk_cols_t, win_t, ns, win_halo = res
+    (vals, blk_cols, win, vals_t, blk_cols_t, win_t, ns, win_halo,
+     nbr_t_h, mask_t_h) = res
     if win_t.shape[-1] and g.shape[-1] >= BAND_MIN_F \
             and jnp.dtype(g.dtype).itemsize <= 2:
         # transpose x = the forward's row space: no halo column tiles
@@ -290,11 +298,24 @@ def _bsr_local_bwd(res, g):
         )[0]
     else:
         d_xx = bsr_matmul(vals_t, blk_cols_t, g[None])[0]
+    if nbr_t_h is not None and nbr_t_h.shape[0]:
+        # hybrid transpose: the blocks cover local rows only; the (few,
+        # <1% of the graph) HALO transpose rows run as an ELL gather —
+        # their in-edge columns scatter across destination bands and do
+        # not tile (measured M_t=64 at 600k x 2 stripes,
+        # mega_graph.build_bsr_tables)
+        d_halo = ell_gather_sum(
+            nbr_t_h[None], mask_t_h.astype(g.dtype)[None], g[None]
+        )[0]
+    else:
+        d_halo = d_xx[ns:]
     z = jax.tree.map(
         jnp.zeros_like, (vals, blk_cols, win, vals_t, blk_cols_t, win_t)
     )
     z_hw = None if win_halo is None else jnp.zeros_like(win_halo)
-    return (*z, d_xx[:ns], d_xx[ns:], z_hw)
+    z_nh = None if nbr_t_h is None else jnp.zeros_like(nbr_t_h)
+    z_mh = None if mask_t_h is None else jnp.zeros_like(mask_t_h)
+    return (*z, d_xx[:ns], d_halo, z_hw, z_nh, z_mh)
 
 
 bsr_local_matmul.defvjp(_bsr_local_fwd, _bsr_local_bwd)

@@ -582,26 +582,35 @@ def band_window_table(
     return base
 
 
+H_SUB = H_BAND_MAX // 2  # tiles per halo sub-window (two of them)
+
+
 def band_window_table_halo(
     blk_cols: np.ndarray,   # i32[R, M] one shard
     blk_mask: np.ndarray,   # [R, M]
     ns_tiles: int,          # local column tiles (halo tiles start here)
     h_tiles_total: int,     # halo column tiles available in the halo array
 ) -> tuple[np.ndarray, np.ndarray] | None:
-    """(local_base[S], halo_base[S]) for the halo-WINDOWED banded kernel
-    (round 5), or None when either band is too wide at some super tile.
+    """(local_base[S], halo_bases[S, 2]) for the halo-WINDOWED banded
+    kernel (round 5), or None when a band is too wide at some super tile.
 
     The resident-tail form (band_window_table) dies when the halo exceeds
     H_BAND_MAX tiles — exactly the multi-shard deployment (≥2 shards at
-    ≥300k nuclei have thousands of halo rows). But the halo array is
-    GLOBALLY SPATIALLY SORTED by construction: partition_graph assigns
-    destination-d halo slots in (source shard e, node id) order, source
-    shards own contiguous spatial strips, so the concatenation over e is
-    monotone in global node id (with dead capacity-padding gaps between
-    segments). A super row tile's remote neighbours are spatially local →
-    they land in a narrow halo window, double-buffered per super step just
-    like the local band. Window width = H_BAND_MAX tiles (the same VMEM
-    tail the resident form used)."""
+    ≥300k nuclei have thousands of halo rows). Under the shard-aligned
+    stripe sort (parallel/slide_setup.spatial_sort_order), a destination
+    shard's halo array is per-SOURCE-segment spatially sorted, and a super
+    row tile's remote neighbours land in (at most) two narrow clusters —
+    one per adjacent stripe; a group straddling an x-band edge touches
+    BOTH stripe boundaries at once (measured: per-cluster span ≤2 tiles,
+    cross-cluster distance ~15 tiles at 600k × 4). So the halo tail is TWO
+    independently-based H_SUB-tile sub-windows, double-buffered per super
+    step like the local band — same VMEM as the resident tail.
+
+    Each sub-window's base is clamped in-range; a lone cluster gets the
+    contiguous pair (hb2 = hb1 + H_SUB). Kernel mapping contract
+    (_banded_halo_kernel): halo col h goes to sub-window 1 iff
+    h < hb1 + H_SUB, else sub-window 2 — the builder guarantees cluster 2
+    starts at ≥ hb1 + H_SUB or falls back to the contiguous pair."""
     r = blk_cols.shape[0]
     if r % G_BAND or r < G_BAND or ns_tiles < W_BAND:
         return None
@@ -609,12 +618,13 @@ def band_window_table_halo(
         return None  # tail fits resident — use band_window_table instead
     s_count = r // G_BAND
     base = np.zeros(s_count, np.int32)
-    hbase = np.zeros(s_count, np.int32)
+    hbase = np.zeros((s_count, 2), np.int32)
+    hmax = h_tiles_total - H_SUB
     for si in range(s_count):
         rows = slice(si * G_BAND, (si + 1) * G_BAND)
         cols = blk_cols[rows][blk_mask[rows] > 0]
         loc = cols[cols < ns_tiles]
-        hal = cols[cols >= ns_tiles] - ns_tiles
+        hal = np.unique(cols[cols >= ns_tiles] - ns_tiles)
         if len(loc):
             lo, hi = int(loc.min()), int(loc.max())
             b0 = min(lo, ns_tiles - W_BAND)
@@ -622,11 +632,27 @@ def band_window_table_halo(
                 return None  # local band wider than the window
             base[si] = b0
         if len(hal):
-            hlo, hhi = int(hal.min()), int(hal.max())
-            h0 = min(hlo, h_tiles_total - H_BAND_MAX)
-            if hhi >= h0 + H_BAND_MAX:
-                return None  # halo band wider than the halo window
-            hbase[si] = h0
+            if len(hal) > 1:
+                gi = int(np.argmax(np.diff(hal)))
+                a, b = hal[:gi + 1], hal[gi + 1:]
+            else:
+                a, b = hal, hal[:0]
+            hb1 = min(int(a.min()), hmax)
+            if len(b) == 0 or int(b.min()) < hb1 + H_SUB:
+                # one cluster (or clusters closer than a sub-window):
+                # contiguous pair covering up to 2*H_SUB tiles
+                span_hi = int(hal.max())
+                hb1 = min(int(hal.min()), h_tiles_total - 2 * H_SUB)
+                if span_hi >= hb1 + 2 * H_SUB:
+                    return None
+                hbase[si] = (hb1, hb1 + H_SUB)
+            else:
+                if int(a.max()) >= hb1 + H_SUB:
+                    return None
+                hb2 = min(int(b.min()), hmax)
+                if int(b.max()) >= hb2 + H_SUB:
+                    return None
+                hbase[si] = (hb1, hb2)
     return base, hbase
 
 
@@ -705,20 +731,22 @@ def _banded_kernel(
 def _banded_halo_kernel(
     blk_cols_ref,   # scalar prefetch: i32[B*R*M] (flat)
     win_ref,        # scalar prefetch: i32[B*S] local-band bases
-    hwin_ref,       # scalar prefetch: i32[B*S] halo-band bases (halo tiles)
+    hwin_ref,       # scalar prefetch: i32[B*S*2] halo sub-window bases
     x_ref,          # ANY/HBM: [B, NS, F] local columns
     xh_ref,         # ANY/HBM: [B, H*T, F] halo columns (separate array)
     vals_ref,       # VMEM: [1, G, M, T, T] (pipelined)
     out_ref,        # VMEM: [1, G*T, F]
-    xw,             # VMEM scratch: [2, (W+H_BAND_MAX)*T, F]
-    sems,           # DMA semaphores (2, 2): [0]=band, [1]=halo
+    xw,             # VMEM scratch: [2, (W+2*H_SUB)*T, F]
+    sems,           # DMA semaphores (3, 2): [0]=band, [1]/[2]=halo subs
     *, r: int, m_cap: int, ns_tiles: int,
 ):
     """Halo-WINDOWED variant of _banded_kernel (round 5): instead of a
     resident halo tail copied once per batch (dies at H > H_BAND_MAX tiles
-    — every multi-shard deployment), the halo columns are double-buffered
-    through a second per-super-tile window, riding the same spatial
-    sortedness as the local band (band_window_table_halo)."""
+    — every multi-shard deployment), the halo columns stream through TWO
+    per-super-tile H_SUB-tile sub-windows, double-buffered like the local
+    band. Two windows because a group straddling an x-band edge touches
+    both adjacent stripes' halo segments at once
+    (band_window_table_halo)."""
     bi = pl.program_id(0)
     si = pl.program_id(1)
     s_count = pl.num_programs(1)
@@ -733,40 +761,50 @@ def _banded_halo_kernel(
             sems.at[0, slot],
         )
 
-    def halo_dma(slot, sj):
-        hb = hwin_ref[bi * s_count + sj] * t
+    def halo_dma(slot, sj, sub):
+        hb = hwin_ref[(bi * s_count + sj) * 2 + sub] * t
+        off = (w + sub * H_SUB) * t
         return pltpu.make_async_copy(
-            xh_ref.at[bi, pl.ds(hb, H_BAND_MAX * t), :],
-            xw.at[slot, pl.ds(w * t, H_BAND_MAX * t), :],
-            sems.at[1, slot],
+            xh_ref.at[bi, pl.ds(hb, H_SUB * t), :],
+            xw.at[slot, pl.ds(off, H_SUB * t), :],
+            sems.at[1 + sub, slot],
         )
 
     @pl.when(si == 0)
     def _():
         band_dma(0, 0).start()
-        halo_dma(0, 0).start()
+        halo_dma(0, 0, 0).start()
+        halo_dma(0, 0, 1).start()
 
     @pl.when(si + 1 < s_count)
     def _():
         band_dma((si + 1) % 2, si + 1).start()
-        halo_dma((si + 1) % 2, si + 1).start()
+        halo_dma((si + 1) % 2, si + 1, 0).start()
+        halo_dma((si + 1) % 2, si + 1, 1).start()
 
     slot = si % 2
     band_dma(slot, si).wait()
-    halo_dma(slot, si).wait()
+    halo_dma(slot, si, 0).wait()
+    halo_dma(slot, si, 1).wait()
     base = win_ref[bi * s_count + si]
-    hbase = hwin_ref[bi * s_count + si]
+    hb1 = hwin_ref[(bi * s_count + si) * 2]
+    hb2 = hwin_ref[(bi * s_count + si) * 2 + 1]
     for gi in range(G_BAND):
         acc = jnp.zeros((t, xw.shape[2]), jnp.float32)
         for mi in range(m_cap):
             idx = (bi * r + si * G_BAND + gi) * m_cap + mi
             col = blk_cols_ref[idx]
-            # halo tiles map into the window tail through the halo base;
+            # halo tiles map through the sub-window whose range holds them
+            # (builder contract: sub-window 1 iff hcol < hb1 + H_SUB);
             # padded slots (col 0, zero block) clamp anywhere legal
-            rel = jnp.where(
-                col >= ns_tiles, w + (col - ns_tiles - hbase), col - base
+            hcol = col - ns_tiles
+            rel_h = jnp.where(
+                hcol < hb1 + H_SUB,
+                w + (hcol - hb1),
+                w + H_SUB + (hcol - hb2),
             )
-            rel = jnp.clip(rel, 0, w + H_BAND_MAX - 1)
+            rel = jnp.where(col >= ns_tiles, rel_h, col - base)
+            rel = jnp.clip(rel, 0, w + 2 * H_SUB - 1)
             xt = xw[slot, pl.ds(pl.multiple_of(rel * t, t), t), :]
             acc = acc + jnp.dot(
                 vals_ref[0, gi, mi].astype(xt.dtype), xt,
@@ -823,6 +861,7 @@ def bsr_matmul_banded(
         assert halo.shape[1] % t == 0
         h_total = halo.shape[1] // t
         assert h_total >= H_BAND_MAX, h_total
+        assert halo_win.size == b * s_count * 2, (halo_win.shape, b, s_count)
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=3,
             grid=(b, s_count),
@@ -838,8 +877,8 @@ def bsr_matmul_banded(
                 (1, G_BAND * t, f), lambda bi, si, bc, wn, hw: (bi, si, 0)
             ),
             scratch_shapes=[
-                pltpu.VMEM((2, (W_BAND + H_BAND_MAX) * t, f_pad), x.dtype),
-                pltpu.SemaphoreType.DMA((2, 2)),
+                pltpu.VMEM((2, (W_BAND + 2 * H_SUB) * t, f_pad), x.dtype),
+                pltpu.SemaphoreType.DMA((3, 2)),
             ],
         )
         return pl.pallas_call(

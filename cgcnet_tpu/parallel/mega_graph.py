@@ -226,12 +226,30 @@ def build_bsr_tables(
             bsr_block_meta(part.nbr_remap[di], part.nbr_mask[di], max_blocks)
             for di in range(d)
         ]
+    except ValueError:
+        return None
+    try:
         metas_t = [
             bsr_block_meta(t_idx[di], t_mask[di], max_blocks)
             for di in range(d)
         ]
+        t_rows = nc
     except ValueError:
-        return None
+        # halo transpose rows don't tile: a 128-slot halo tile aggregates
+        # in-edges from MANY destination bands (boundary rows are ~10-30
+        # per band, so one tile spans 4-13 bands → 24-64 distinct column
+        # tiles; measured M_t=64 at 600k x 2 stripes). Band the transpose
+        # over LOCAL rows only — its halo rows (halo_fraction <1% of the
+        # graph) run as an ELL gather in the backward
+        # (ops/ell._bsr_local_bwd's nbr_t_h path).
+        try:
+            metas_t = [
+                bsr_block_meta(t_idx[di, :ns], t_mask[di, :ns], max_blocks)
+                for di in range(d)
+            ]
+            t_rows = ns
+        except ValueError:
+            return None
     # one static M across shards (shard_map needs identical shapes)
     m = max(max(mm[2] for mm in metas), 1)
     mt = max(max(mm[2] for mm in metas_t), 1)

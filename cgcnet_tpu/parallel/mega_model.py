@@ -145,8 +145,11 @@ def prepare_mega_inputs(
                 nbr_remap[None], off[None], blk_cols[None], blk_mask[None],
                 jnp.int8,
             )
+            # the transpose blocks may cover LOCAL rows only (hybrid halo
+            # transpose, build_bsr_tables) — slice the ELL lists to match
+            tr = blk_cols_t.shape[0] * 128
             vt = _bk.bsr_build_blocks(
-                nbr_t[None], mask_t[None], blk_cols_t[None],
+                nbr_t[None, :tr], mask_t[None, :tr], blk_cols_t[None],
                 blk_mask_t[None], jnp.int8,
             )
             return v[0], vt[0]
@@ -673,10 +676,18 @@ class _ShardedAdj:
                 if self.inp.win_halo is not None
                 else jnp.zeros((1, 0), jnp.int32)
             )
+            # hybrid transpose (build_bsr_tables): blocks cover local rows
+            # only — hand the backward the halo rows' ELL in-edge lists
+            tr = self.inp.blk_cols_t.shape[0] * 128
+            if tr < self.inp.nbr_t.shape[0]:
+                nbr_t_h = self.inp.nbr_t[tr:]
+                mask_t_h = self.inp.mask_t[tr:]
+            else:
+                nbr_t_h = mask_t_h = None
             agg = bsr_local_matmul(
                 self.vals, self.inp.blk_cols[None], win,
                 self.vals_t, self.inp.blk_cols_t[None], win_t, h, halo,
-                win_halo,
+                win_halo, nbr_t_h, mask_t_h,
             )
             return self.scale[:, None] * agg + self.self_w[:, None] * h
         if self.overlap:

@@ -121,7 +121,8 @@ def _build_part_tables(nbrp, maskp, shards, caps, want_bsr):
 
 
 def spatial_sort_order(
-    coords: np.ndarray, band_px: float, stripes: int = 1
+    coords: np.ndarray, band_px: float, stripes: int = 1,
+    shard_rows: int | None = None,
 ) -> np.ndarray:
     """Spatial band-sort order; ``stripes`` > 1 sorts within equal-count
     y-stripes first (round 5).
@@ -143,7 +144,14 @@ def spatial_sort_order(
     if stripes <= 1:
         return np.lexsort((coords[:, 1], band))
     y_order = np.argsort(coords[:, 1], kind="stable")
-    bounds = (np.arange(1, stripes) * n) // stripes
+    # stripe boundaries at EXACT shard row counts (capacity // shards), so
+    # shard boundaries never cut a stripe: a row spilled across the cut
+    # would carry in-shard edges back to the previous stripe's rows at
+    # local distance ~Ns (measured: one spilled row blew the span to the
+    # whole shard). The final stripe absorbs the remainder plus the
+    # capacity pad rows the caller appends.
+    per = shard_rows if shard_rows is not None else n // stripes
+    bounds = np.minimum(np.arange(1, stripes) * per, n)
     stripe_id = np.empty(n, np.int32)
     stripe_id[y_order] = np.searchsorted(
         bounds, np.arange(n), side="right"
@@ -171,18 +179,18 @@ def build_slide_inputs(cfg, feats, coords, shards, mesh,
     mean, std = stats_mod.reference_stats(
         cfg.data.cross_val, cfg.data.feature_type
     )
-    order = spatial_sort_order(
-        coords, cfg.data.max_edge_distance, stripes=shards
-    )
-    feats, coords = feats[order], coords[order]
-    x = (np.concatenate([feats, coords], -1) - mean) / std
-
     # per-shard rows rounded to G_BAND row tiles (4*128) so the banded
     # x-window BSR kernel applies (bsr_kernel.band_window_table contract)
     from cgcnet_tpu.ops.pallas.bsr_kernel import G_BAND
 
     q = 128 * G_BAND * shards
     cap = -(-n // q) * q
+    order = spatial_sort_order(
+        coords, cfg.data.max_edge_distance, stripes=shards,
+        shard_rows=cap // shards,
+    )
+    feats, coords = feats[order], coords[order]
+    x = (np.concatenate([feats, coords], -1) - mean) / std
     xp = np.zeros((cap, x.shape[1]), np.float32)
     xp[:n] = x
 

@@ -140,17 +140,56 @@ def test_banded_halo_window_matches_streamed(rng):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4)
 
 
+def test_banded_two_cluster_halo_matches_streamed(rng):
+    """A group touching TWO distant halo clusters (the band-edge-straddling
+    case: both adjacent stripes' segments at once) routes each through its
+    own sub-window."""
+    ns_tiles, h_total, f = 16, 12, 70
+    blk_cols, blk_mask, vals = make_banded_big_halo(
+        rng, ns_tiles=ns_tiles, h_total=h_total
+    )
+    # group 0 rows touch halo tiles 0 and 11 — clusters 11 tiles apart
+    blk_cols[0, 0, 3] = ns_tiles
+    blk_cols[0, 1, 3] = ns_tiles + h_total - 1
+    blk_mask[0, :2, 3] = 1.0
+    vals = (
+        rng.normal(size=vals.shape).astype(np.float32)
+        * blk_mask[..., None, None]
+    )
+    x = rng.normal(size=(1, ns_tiles * T, f)).astype(np.float32)
+    halo = rng.normal(size=(1, h_total * T, f)).astype(np.float32)
+    tabs = bk.band_window_table_halo(
+        blk_cols[0], blk_mask[0], ns_tiles, h_total
+    )
+    assert tabs is not None
+    win, hwin = tabs
+    assert hwin.shape == (ns_tiles // bk.G_BAND, 2)
+    assert hwin[0, 1] - hwin[0, 0] > bk.H_SUB  # genuinely two clusters
+    xx = np.concatenate([x, halo], axis=1)
+    ref = bk.bsr_matmul(jnp.asarray(vals), jnp.asarray(blk_cols),
+                        jnp.asarray(xx))
+    out = bk.bsr_matmul_banded(
+        jnp.asarray(vals), jnp.asarray(blk_cols), jnp.asarray(win)[None],
+        jnp.asarray(x), ns_rows=ns_tiles * T, halo=jnp.asarray(halo),
+        halo_win=jnp.asarray(hwin)[None],
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4)
+
+
 def test_halo_window_table_rejects_wide_halo_band(rng):
-    """A super tile touching halo tiles further apart than H_BAND_MAX must
-    reject (fallback to streamed), and a resident-size halo defers to the
-    resident-tail form."""
+    """A super tile whose halo tiles need more than two H_SUB sub-windows
+    must reject (fallback to streamed), and a resident-size halo defers to
+    the resident-tail form."""
     ns_tiles, h_total = 16, 12
     blk_cols, blk_mask, _ = make_banded_big_halo(
         rng, ns_tiles=ns_tiles, h_total=h_total
     )
-    blk_cols[0, 0, 0] = ns_tiles            # halo tile 0
-    blk_cols[0, 1, 0] = ns_tiles + h_total - 1  # and tile 11 in one group
-    blk_mask[0, :2, 0] = 1.0
+    # three spread clusters in one group: {0}, {5}, {11} — after the
+    # largest-gap split, cluster A = {0, 5} spans > H_SUB -> reject
+    blk_cols[0, 0, 3] = ns_tiles
+    blk_cols[0, 1, 3] = ns_tiles + 5
+    blk_cols[0, 2, 3] = ns_tiles + h_total - 1
+    blk_mask[0, :3, 3] = 1.0
     assert bk.band_window_table_halo(
         blk_cols[0], blk_mask[0], ns_tiles, h_total
     ) is None
