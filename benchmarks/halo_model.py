@@ -54,13 +54,31 @@ MXU_BF16 = 197e12         # FLOP/s
 BYTES = 2                 # bf16
 
 
-def aggregation_model(edges_per_shard, ns, f, m_blocks, kernel_eff):
-    """(t_comp_s, bytes, flops) of one shard's local BSR aggregation."""
+def aggregation_model(edges_per_shard, ns, f, m_blocks, kernel_eff,
+                      banded=False):
+    """(t_comp_s, bytes, flops) of one shard's local BSR aggregation.
+
+    ``banded`` (round 5): the shard-size-dependent kernel choice. When the
+    striped partition's windows engage (<=~200k rows/shard,
+    build_bsr_tables), the x traffic is the per-super-tile window stream
+    and block values are int8; otherwise the streamed kernel re-reads each
+    x column tile per (row tile, block slot). ``kernel_eff`` should be the
+    kernel's MEASURED fraction of its own binding bound (banded: 0.80 at a
+    200k shard, banded_shard_r5.json; streamed: 0.48, roofline_r3 §4)."""
+    from cgcnet_tpu.ops.pallas.bsr_kernel import G_BAND, H_SUB, W_BAND
+
     r = ns // 128
-    # block values stream from HBM once per matvec; x/out tiles ride along
-    vals_bytes = r * m_blocks * 128 * 128 * BYTES
-    x_bytes = 2 * ns * f * BYTES
     flops = 2 * r * m_blocks * 128 * 128 * f
+    if banded:
+        s_count = r // G_BAND
+        vals_bytes = r * m_blocks * 128 * 128  # int8
+        x_bytes = (
+            s_count * (W_BAND + 2 * H_SUB) * 128 * f * BYTES
+            + ns * f * BYTES  # output
+        )
+    else:
+        vals_bytes = r * m_blocks * 128 * 128 * BYTES
+        x_bytes = r * m_blocks * 128 * f * BYTES + ns * f * BYTES
     t = max((vals_bytes + x_bytes) / HBM_BW, flops / MXU_BF16) / kernel_eff
     return t, vals_bytes + x_bytes, flops
 
@@ -71,10 +89,13 @@ def main(argv=None):
     p.add_argument("--feat", type=int, default=20)
     p.add_argument("--shards", type=int, nargs="+",
                    default=[2, 4, 8, 16, 32, 64])
-    p.add_argument("--kernel-eff", type=float, default=0.25,
-                   help="measured fraction of the single-chip roofline the "
-                        "BSR kernel achieves at this F (r3 roofline doc)")
-    p.add_argument("--out", default="benchmarks/halo_model_r3.json")
+    p.add_argument("--kernel-eff", type=float, default=0.48,
+                   help="measured streamed-kernel fraction of its binding "
+                        "bound (r3 roofline §4)")
+    p.add_argument("--kernel-eff-banded", type=float, default=0.80,
+                   help="measured banded-kernel fraction of its binding "
+                        "bound at a 200k-row shard (banded_shard_r5.json)")
+    p.add_argument("--out", default="benchmarks/halo_model_r5.json")
     args = p.parse_args(argv)
 
     import numpy as np
@@ -87,29 +108,41 @@ def main(argv=None):
     from cgcnet_tpu.ops.pallas.bsr_kernel import bsr_block_meta
 
     cfg = Config()
-    feats, coords = synthetic_slide(args.nuclei)
-    band = np.floor(coords[:, 0] / cfg.data.max_edge_distance)
-    coords = coords[np.lexsort((coords[:, 1], band))]
-    n = len(coords)
-    if native.available():
-        nbr, mask = native.radius_knn(
-            coords, cfg.data.max_edge_distance, cfg.data.max_neighbours
-        )
-    else:
-        nbr, mask = radius_knn_np(
-            coords, cfg.data.max_edge_distance, cfg.data.max_neighbours
-        )
-    edges = int(mask.sum())
+    feats, coords0 = synthetic_slide(args.nuclei)
+    n = len(coords0)
+    edges = None  # filled per-partition (same graph edge count)
 
     rows = []
     crossover = None
     for d in sorted(args.shards):
-        cap = -(-n // (128 * d)) * (128 * d)
+        # production sort: shard-aligned stripes (round 5) — determines
+        # whether the banded kernel engages at this shard size
+        from cgcnet_tpu.ops.pallas.bsr_kernel import G_BAND as _G
+        from cgcnet_tpu.parallel.mega_graph import build_bsr_tables
+        from cgcnet_tpu.parallel.slide_setup import spatial_sort_order
+
+        cap = -(-n // (128 * _G * d)) * (128 * _G * d)
+        coords = coords0[
+            spatial_sort_order(
+                coords0, cfg.data.max_edge_distance, stripes=d,
+                shard_rows=cap // d,
+            )
+        ]
+        if native.available():
+            nbr, mask = native.radius_knn(
+                coords, cfg.data.max_edge_distance, cfg.data.max_neighbours
+            )
+        else:
+            nbr, mask = radius_knn_np(
+                coords, cfg.data.max_edge_distance, cfg.data.max_neighbours
+            )
         nbrp = np.tile(np.arange(cap, dtype=np.int32)[:, None],
                        (1, nbr.shape[1]))
         maskp = np.zeros((cap, nbr.shape[1]), np.float32)
         nbrp[:n], maskp[:n] = nbr, mask
         part = partition_graph(nbrp, maskp, d)
+        tables = build_bsr_tables(part)
+        banded = tables is not None and tables.win_base is not None
         ns = cap // d
         p_cap = part.halo_capacity
         halo_rows = int(part.req_mask.sum())
@@ -124,8 +157,10 @@ def main(argv=None):
                            strict=False)[2]
             for di in range(d)
         )
+        edges = int(maskp.sum())
+        eff = args.kernel_eff_banded if banded else args.kernel_eff
         t_comp, agg_bytes, flops = aggregation_model(
-            edges / d, ns, args.feat, m_blocks, args.kernel_eff
+            edges / d, ns, args.feat, m_blocks, eff, banded=banded
         )
         # interior fraction: rows with no remote neighbour (overlap hides
         # t_comm behind the interior part only)
@@ -144,6 +179,8 @@ def main(argv=None):
         eff_serial = t_comp / (t_comp + t_comm)          # plain variant
         rows.append({
             "shards": d,
+            "banded_kernel": bool(banded),
+            "kernel_eff_used": eff,
             "ns": ns,
             "halo_rows": halo_rows,
             "halo_capacity_per_peer": p_cap,

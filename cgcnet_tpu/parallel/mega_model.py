@@ -960,20 +960,18 @@ def mega_forward(
                 pick_chunk(s.shape[0], cfg.assign_tail_chunk)
                 if (train and cfg.assign_tail_chunk) else 0
             )
-            if ch_seg:
-                # capacity path: custom-VJP backward — d(A S) as ONE matmul
-                # and ds from static chunk slices (see
-                # _chunked_pool_contract). Measured perf-NEUTRAL at 100k
-                # (38.4 vs 38.08 ms always-on), so it stays gated to the
-                # chunked capacity config where its memory shape is needed.
-                x_pool, adj_pool = _chunked_pool_contract(
-                    s, pembed, a_s, ch_seg
-                )
-            else:
-                x_pool, adj_pool = (
-                    jnp.einsum("nc,nf->cf", s, pembed),
-                    jnp.einsum("nc,nd->cd", s, a_s),
-                )
+            # custom-VJP backward on BOTH paths (round 5): d(A S) as ONE
+            # matmul and ds assembled per static chunk as
+            # (pc @ ctx^T + ac @ cta^T) in one expression — on the
+            # non-chunked path (chunk = all rows) XLA fuses the add into
+            # the second matmul's epilogue, where the einsum pair's
+            # autodiff emitted a separate full [N, C]-tensor add pass
+            # under the lane-padded S shapes (a 1.0 ms add_bitcast in the
+            # first r5 profile; r4's un-padded comparison measured the
+            # difference neutral, 38.4 vs 38.08).
+            x_pool, adj_pool = _chunked_pool_contract(
+                s, pembed, a_s, ch_seg if ch_seg else s.shape[0]
+            )
             x_pool, adj_pool = jax.lax.psum((x_pool, adj_pool), axis)
             if x_pool.shape[0] != d1:
                 # lane-padded S (see the c_out emission above): the pooled
