@@ -344,6 +344,27 @@ def _dual_lin(
     return out
 
 
+def dual_l2norm_2d(cat: jax.Array, f: int) -> jax.Array:
+    """Row L2-normalize each half of a [..., 2F] dual-stream concat, all 2D.
+
+    Math of ``F.normalize(p=2, dim=-1)`` per stream with f32
+    sums-of-squares (SAGEConv's precision rule), but expressed as
+    lane-slice reductions instead of a [..., 2, F] reshape: the 3D f32
+    intermediate tiles 2 sublanes to 8 and F=20 lanes to 128 (~17x pad),
+    and its autodiff emits {0,1}->{1,0} relayout copies of the broadcast
+    norm (2 x 155 us/step at 100k nuclei, round-5 slide profile). Returns
+    f32 (caller applies mask/act/BN and casts)."""
+    c32 = cat.astype(jnp.float32)
+    a, b = c32[..., :f], c32[..., f:]
+    na = jnp.maximum(
+        jnp.sqrt(jnp.sum(a * a, axis=-1, keepdims=True)), 1e-12
+    )
+    nb = jnp.maximum(
+        jnp.sqrt(jnp.sum(b * b, axis=-1, keepdims=True)), 1e-12
+    )
+    return jnp.concatenate([a / na, b / nb], axis=-1)
+
+
 def _dual_tail(
     e_blk: GNNBlock,
     p_blk: GNNBlock,
@@ -372,12 +393,8 @@ def _dual_tail(
     f = cat.shape[-1] // 2
     dt = cat.dtype
     b, n_nodes, _ = cat.shape
-    # F.normalize(p=2, dim=-1) per stream, sums-of-squares in f32
-    # (SAGEConv's precision rule)
-    h4 = cat.astype(jnp.float32).reshape(b, n_nodes, 2, f)
-    norm = jnp.linalg.norm(h4, axis=-1, keepdims=True)
-    h = (h4 / jnp.maximum(norm, 1e-12)).reshape(b, n_nodes, 2 * f)
-    h = h.astype(dt)
+    # F.normalize(p=2, dim=-1) per stream (2D lane-slice form)
+    h = dual_l2norm_2d(cat, f).astype(dt)
     if mask is not None:
         h = h * mask[..., None].astype(dt)
     h = activation(e_blk.act)(h)

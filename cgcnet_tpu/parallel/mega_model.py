@@ -420,11 +420,10 @@ def _paired_layers12(
         return out
 
     def dual_tail(i, cat):
-        nrow = cat.shape[0]
-        h4 = cat.astype(jnp.float32).reshape(nrow, 2, f)
-        norm = jnp.linalg.norm(h4, axis=-1, keepdims=True)
-        h = (h4 / jnp.maximum(norm, 1e-12)).reshape(nrow, 2 * f)
-        h = h.astype(cat.dtype) * valid[:, None].astype(cat.dtype)
+        from cgcnet_tpu.nn.blocks import dual_l2norm_2d
+
+        h = dual_l2norm_2d(cat, f).astype(cat.dtype)
+        h = h * valid[:, None].astype(cat.dtype)
         h = act(h)
         st_e = (stats or {}).get(name_e, {}).get(f"bn{i}")
         st_p = (stats or {}).get(name_p, {}).get(f"bn{i}")
