@@ -665,17 +665,36 @@ def _banded_kernel(
                     #   array; a separate [B, H*T, F] array otherwise — the
                     #   separate form lets the mega path SKIP the 228 MB
                     #   local++halo concat entirely)
-    vals_ref,       # VMEM: [1, G, M, T, T] (pipelined)
-    out_ref,        # VMEM: [1, G*T, F]
-    xw,             # VMEM scratch: [2, (W+H)*T, F]
-    sems,           # DMA semaphores (2,)
-    *, r: int, m_cap: int, ns_tiles: int, h_tiles: int, halo_off: int,
+    *refs,          # [acc_ref (HBM [1, NA, F], when acc_tiles)] ++
+                    # vals_ref VMEM [1, G, M, T, T] (pipelined),
+                    # out_ref VMEM [1, G*T, F],
+                    # xw scratch [2, (W+H)*T, F], sems DMA (2,),
+                    # [accw scratch (2, T, F), asem DMA (2,) (when acc)]
+    r: int, m_cap: int, ns_tiles: int, h_tiles: int, halo_off: int,
+    acc_tiles: int = 0,
 ):
+    if acc_tiles:
+        acc_ref, vals_ref, out_ref, xw, accw, sems, asem = refs
+    else:
+        vals_ref, out_ref, xw, sems = refs
     bi = pl.program_id(0)
     si = pl.program_id(1)
     s_count = pl.num_programs(1)
     t = TILE
     w = W_BAND
+
+    def acc_dma(q):
+        # row-tile accumulator added to the output (round 5: the pool-ds
+        # contractions ride into the transpose leg instead of a separate
+        # full-width add pass). Double-buffered manual DMA of ONE [T, F]
+        # tile (~0.6 MB VMEM at F=1152) — a BlockSpec operand would double
+        # -buffer a [G*T, F] block and overflow the scoped-VMEM budget on
+        # top of the x window.
+        return pltpu.make_async_copy(
+            acc_ref.at[0, pl.ds(q * t, t), :],
+            accw.at[q % 2],
+            asem.at[q % 2],
+        )
 
     def band_dma(slot, sj):
         base = win_ref[bi * s_count + sj] * t
@@ -698,6 +717,8 @@ def _banded_kernel(
                 c.start()
                 c.wait()
         band_dma(0, 0).start()
+        if acc_tiles:
+            acc_dma(0).start()
 
     @pl.when(si + 1 < s_count)
     def _():
@@ -723,9 +744,26 @@ def _banded_kernel(
                 vals_ref[0, gi, mi].astype(xt.dtype), xt,
                 preferred_element_type=jnp.float32,
             )
-        out_ref[0, pl.ds(gi * t, t), :] = (
-            acc[:, : out_ref.shape[2]].astype(out_ref.dtype)
-        )
+        out = acc[:, : out_ref.shape[2]]
+        if acc_tiles:
+            q = si * G_BAND + gi
+
+            @pl.when(q < acc_tiles)
+            def _():
+                acc_dma(q).wait()
+
+            @pl.when(q + 1 < acc_tiles)
+            def _():
+                acc_dma(q + 1).start()
+
+            # where (not gate-multiply): the out-of-range slot holds
+            # uninitialized scratch and NaN * 0 would poison halo row tiles
+            out = jnp.where(
+                q < acc_tiles,
+                out + accw[q % 2, :, : out_ref.shape[2]].astype(jnp.float32),
+                out,
+            )
+        out_ref[0, pl.ds(gi * t, t), :] = out.astype(out_ref.dtype)
 
 
 def _banded_halo_kernel(
@@ -734,11 +772,13 @@ def _banded_halo_kernel(
     hwin_ref,       # scalar prefetch: i32[B*S*2] halo sub-window bases
     x_ref,          # ANY/HBM: [B, NS, F] local columns
     xh_ref,         # ANY/HBM: [B, H*T, F] halo columns (separate array)
-    vals_ref,       # VMEM: [1, G, M, T, T] (pipelined)
-    out_ref,        # VMEM: [1, G*T, F]
-    xw,             # VMEM scratch: [2, (W+2*H_SUB)*T, F]
-    sems,           # DMA semaphores (3, 2): [0]=band, [1]/[2]=halo subs
-    *, r: int, m_cap: int, ns_tiles: int,
+    *refs,          # [acc_ref (HBM [1, NA, F], when acc_tiles)] ++
+                    # vals_ref VMEM [1, G, M, T, T] (pipelined),
+                    # out_ref VMEM [1, G*T, F],
+                    # xw scratch [2, (W+2*H_SUB)*T, F],
+                    # sems DMA (3, 2): [0]=band, [1]/[2]=halo subs,
+                    # [accw scratch (2, T, F), asem DMA (2,) (when acc)]
+    r: int, m_cap: int, ns_tiles: int, acc_tiles: int = 0,
 ):
     """Halo-WINDOWED variant of _banded_kernel (round 5): instead of a
     resident halo tail copied once per batch (dies at H > H_BAND_MAX tiles
@@ -747,11 +787,23 @@ def _banded_halo_kernel(
     band. Two windows because a group straddling an x-band edge touches
     both adjacent stripes' halo segments at once
     (band_window_table_halo)."""
+    if acc_tiles:
+        acc_ref, vals_ref, out_ref, xw, accw, sems, asem = refs
+    else:
+        vals_ref, out_ref, xw, sems = refs
     bi = pl.program_id(0)
     si = pl.program_id(1)
     s_count = pl.num_programs(1)
     t = TILE
     w = W_BAND
+
+    def acc_dma(q):
+        # see _banded_kernel.acc_dma
+        return pltpu.make_async_copy(
+            acc_ref.at[0, pl.ds(q * t, t), :],
+            accw.at[q % 2],
+            asem.at[q % 2],
+        )
 
     def band_dma(slot, sj):
         base = win_ref[bi * s_count + sj] * t
@@ -775,6 +827,8 @@ def _banded_halo_kernel(
         band_dma(0, 0).start()
         halo_dma(0, 0, 0).start()
         halo_dma(0, 0, 1).start()
+        if acc_tiles:
+            acc_dma(0).start()
 
     @pl.when(si + 1 < s_count)
     def _():
@@ -810,9 +864,24 @@ def _banded_halo_kernel(
                 vals_ref[0, gi, mi].astype(xt.dtype), xt,
                 preferred_element_type=jnp.float32,
             )
-        out_ref[0, pl.ds(gi * t, t), :] = (
-            acc[:, : out_ref.shape[2]].astype(out_ref.dtype)
-        )
+        out = acc[:, : out_ref.shape[2]]
+        if acc_tiles:
+            q = si * G_BAND + gi
+
+            @pl.when(q < acc_tiles)
+            def _():
+                acc_dma(q).wait()
+
+            @pl.when(q + 1 < acc_tiles)
+            def _():
+                acc_dma(q + 1).start()
+
+            out = jnp.where(
+                q < acc_tiles,
+                out + accw[q % 2, :, : out_ref.shape[2]].astype(jnp.float32),
+                out,
+            )
+        out_ref[0, pl.ds(gi * t, t), :] = out.astype(out_ref.dtype)
 
 
 def bsr_matmul_banded(
@@ -826,6 +895,16 @@ def bsr_matmul_banded(
     halo_win: jax.Array | None = None,  # i32[B, S] halo-band bases
                                         #   (band_window_table_halo) — the
                                         #   halo-windowed kernel variant
+    acc: jax.Array | None = None,  # [1, NA, F] row accumulator ADDED to the
+                                   #   first NA output rows in-kernel (round
+                                   #   5: the pool-ds contractions ride into
+                                   #   the transpose leg — kills the
+                                   #   separate 4-operand full-width ct_s
+                                   #   assembly pass, 2.04 ms at 100k).
+                                   #   Requires B == 1, NA % T == 0 and F a
+                                   #   lane multiple (manual-DMA minor
+                                   #   alignment); callers fall back to the
+                                   #   out-of-kernel add otherwise.
 ) -> jax.Array:
     """A @ x with G_BAND row tiles per grid step sharing one manually
     double-buffered column-tile window of x — the slide-scale variant of
@@ -854,6 +933,21 @@ def bsr_matmul_banded(
         if halo is not None:
             halo = jnp.pad(halo, ((0, 0), (0, 0), (0, f_pad - f)))
     itemsize_ = jnp.dtype(x.dtype).itemsize
+    acc_tiles = 0
+    if acc is not None:
+        assert b == 1 and f % 128 == 0 and acc.shape[2] == f, (
+            acc.shape, b, f,
+        )
+        assert acc.shape[1] % t == 0
+        acc_tiles = acc.shape[1] // t
+        acc_spec = [pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)]
+        acc_ops = [acc]
+        acc_scratch = [pltpu.VMEM((2, t, f), acc.dtype)]
+        acc_sem = [pltpu.SemaphoreType.DMA((2,))]
+        acc_bytes = acc.shape[1] * f * jnp.dtype(acc.dtype).itemsize
+    else:
+        acc_spec, acc_ops, acc_scratch, acc_sem = [], [], [], []
+        acc_bytes = 0
     if halo_win is not None:
         # halo-WINDOWED variant: requires the separate halo array (the mega
         # path always passes one) with at least H_BAND_MAX tiles
@@ -868,6 +962,7 @@ def bsr_matmul_banded(
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
                 pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+                *acc_spec,
                 pl.BlockSpec(
                     (1, G_BAND, m, t, t),
                     lambda bi, si, bc, wn, hw: (bi, si, 0, 0, 0),
@@ -878,16 +973,25 @@ def bsr_matmul_banded(
             ),
             scratch_shapes=[
                 pltpu.VMEM((2, (W_BAND + 2 * H_SUB) * t, f_pad), x.dtype),
+                *acc_scratch,
                 pltpu.SemaphoreType.DMA((3, 2)),
+                *acc_sem,
             ],
         )
         return pl.pallas_call(
             functools.partial(
                 _banded_halo_kernel, r=r, m_cap=m, ns_tiles=ns_tiles,
+                acc_tiles=acc_tiles,
             ),
             out_shape=jax.ShapeDtypeStruct((b, r * t, f), x.dtype),
             grid_spec=grid_spec,
             interpret=_INTERPRET,
+            compiler_params=pltpu.CompilerParams(
+                # the acc tile pair (~0.6 MB) tips this variant 300 KB over
+                # the default 16 MB scoped budget; probed on hardware —
+                # the chip accepts the raised stack
+                vmem_limit_bytes=20 * 1024 * 1024,
+            ) if acc_tiles else None,
             cost_estimate=pl.CostEstimate(
                 flops=2 * b * r * m * t * t * f_pad,
                 bytes_accessed=(
@@ -895,12 +999,13 @@ def bsr_matmul_banded(
                     + b * s_count * (W_BAND + H_BAND_MAX) * t * f_pad
                     * itemsize_
                     + b * r * t * f * itemsize_
+                    + acc_bytes
                 ),
                 transcendentals=0,
             ),
         )(
             blk_cols.reshape(-1), win_base.reshape(-1),
-            halo_win.reshape(-1), x, halo, vals,
+            halo_win.reshape(-1), x, halo, *acc_ops, vals,
         )
     if halo is None:
         h_tiles = n // t - ns_tiles
@@ -920,6 +1025,7 @@ def bsr_matmul_banded(
             # hardware with the lane-padded operands above.
             pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
             pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+            *acc_spec,
             pl.BlockSpec(
                 (1, G_BAND, m, t, t),
                 lambda bi, si, bc, wn: (bi, si, 0, 0, 0),
@@ -930,14 +1036,16 @@ def bsr_matmul_banded(
         ),
         scratch_shapes=[
             pltpu.VMEM((2, (W_BAND + h_tiles) * t, f_pad), x.dtype),
+            *acc_scratch,
             pltpu.SemaphoreType.DMA((2,)),
+            *acc_sem,
         ],
     )
     itemsize = jnp.dtype(x.dtype).itemsize
     return pl.pallas_call(
         functools.partial(
             _banded_kernel, r=r, m_cap=m, ns_tiles=ns_tiles,
-            h_tiles=h_tiles, halo_off=halo_off,
+            h_tiles=h_tiles, halo_off=halo_off, acc_tiles=acc_tiles,
         ),
         out_shape=jax.ShapeDtypeStruct((b, r * t, f), x.dtype),
         grid_spec=grid_spec,
@@ -948,10 +1056,11 @@ def bsr_matmul_banded(
                 b * r * m * t * t * jnp.dtype(vals.dtype).itemsize
                 + b * s_count * (W_BAND + h_tiles) * t * f_pad * itemsize
                 + b * r * t * f * itemsize
+                + acc_bytes
             ),
             transcendentals=0,
         ),
-    )(blk_cols.reshape(-1), win_base.reshape(-1), x, xh, vals)
+    )(blk_cols.reshape(-1), win_base.reshape(-1), x, xh, *acc_ops, vals)
 
 
 def bsr_gather_sum(

@@ -208,3 +208,51 @@ def test_window_table_rejects_wide_band(rng):
     assert bk.band_window_table(blk_cols[0], blk_mask[0], 32) is None
     # non-G_BAND-divisible row counts are also rejected
     assert bk.band_window_table(blk_cols[0, :15], blk_mask[0, :15], 32) is None
+
+
+def test_banded_acc_matches_post_add(rng):
+    """acc= (in-kernel row accumulator, round 5) == kernel + out-of-kernel
+    add on the acc-covered rows; rows past acc (halo row tiles of a
+    transpose leg) must be untouched by the accumulator."""
+    blk_cols, blk_mask, vals = make_banded(rng)
+    ns_tiles, h_tiles, f = 16, 1, 128  # acc needs a lane-multiple F
+    x = rng.normal(size=(1, (ns_tiles + h_tiles) * T, f)).astype(np.float32)
+    win = bk.band_window_table(blk_cols[0], blk_mask[0], ns_tiles)
+    # acc covers 3 of the 4 super tiles (12 of 16 row tiles)
+    na = 12 * T
+    acc = rng.normal(size=(1, na, f)).astype(np.float32)
+    base = bk.bsr_matmul_banded(
+        jnp.asarray(vals), jnp.asarray(blk_cols), jnp.asarray(win)[None],
+        jnp.asarray(x), ns_rows=ns_tiles * T,
+    )
+    out = bk.bsr_matmul_banded(
+        jnp.asarray(vals), jnp.asarray(blk_cols), jnp.asarray(win)[None],
+        jnp.asarray(x), ns_rows=ns_tiles * T, acc=jnp.asarray(acc),
+    )
+    ref = np.array(base)
+    ref[:, :na] += acc[0]
+    np.testing.assert_allclose(np.asarray(out), ref, atol=1e-5)
+
+
+def test_banded_halo_window_acc_matches_post_add(rng):
+    """acc= on the halo-WINDOWED variant (the multi-shard transpose leg)."""
+    ns_tiles, h_total, f = 16, 12, 128
+    blk_cols, blk_mask, vals = make_banded_big_halo(
+        rng, ns_tiles=ns_tiles, h_total=h_total
+    )
+    x = rng.normal(size=(1, ns_tiles * T, f)).astype(np.float32)
+    halo = rng.normal(size=(1, h_total * T, f)).astype(np.float32)
+    win, hwin = bk.band_window_table_halo(
+        blk_cols[0], blk_mask[0], ns_tiles, h_total
+    )
+    acc = rng.normal(size=(1, ns_tiles * T, f)).astype(np.float32)
+    args = (jnp.asarray(vals), jnp.asarray(blk_cols), jnp.asarray(win)[None])
+    kw = dict(ns_rows=ns_tiles * T, halo=jnp.asarray(halo),
+              halo_win=jnp.asarray(hwin)[None])
+    base = bk.bsr_matmul_banded(*args, jnp.asarray(x), **kw)
+    out = bk.bsr_matmul_banded(
+        *args, jnp.asarray(x), acc=jnp.asarray(acc), **kw
+    )
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(base) + acc[0], atol=1e-5
+    )
