@@ -673,7 +673,10 @@ def _banded_kernel(
     r: int, m_cap: int, ns_tiles: int, h_tiles: int, halo_off: int,
     acc_tiles: int = 0,
 ):
-    if acc_tiles:
+    out_halo_ref = None
+    if acc_tiles and acc_tiles < r:
+        acc_ref, vals_ref, out_ref, out_halo_ref, xw, accw, sems, asem = refs
+    elif acc_tiles:
         acc_ref, vals_ref, out_ref, xw, accw, sems, asem = refs
     else:
         vals_ref, out_ref, xw, sems = refs
@@ -682,18 +685,19 @@ def _banded_kernel(
     s_count = pl.num_programs(1)
     t = TILE
     w = W_BAND
+    acc_supers = acc_tiles // G_BAND  # caller guarantees divisibility
 
-    def acc_dma(q):
-        # row-tile accumulator added to the output (round 5: the pool-ds
-        # contractions ride into the transpose leg instead of a separate
-        # full-width add pass). Double-buffered manual DMA of ONE [T, F]
-        # tile (~0.6 MB VMEM at F=1152) — a BlockSpec operand would double
-        # -buffer a [G*T, F] block and overflow the scoped-VMEM budget on
-        # top of the x window.
+    def acc_dma(slot, sj):
+        # super-step row accumulator added to the output (round 5: the
+        # pool-ds contractions ride into the transpose leg instead of a
+        # separate full-width add pass). ONE [G*T, F] DMA per super step,
+        # double-buffered on the band cadence — a per-[T, F]-tile schedule
+        # was measured NOT to hide (the window DMA is already the binding
+        # stream; +1.2 ms on the 100k transpose leg).
         return pltpu.make_async_copy(
-            acc_ref.at[0, pl.ds(q * t, t), :],
-            accw.at[q % 2],
-            asem.at[q % 2],
+            acc_ref.at[0, pl.ds(sj * G_BAND * t, G_BAND * t), :],
+            accw.at[slot],
+            asem.at[slot],
         )
 
     def band_dma(slot, sj):
@@ -718,14 +722,22 @@ def _banded_kernel(
                 c.wait()
         band_dma(0, 0).start()
         if acc_tiles:
-            acc_dma(0).start()
+            acc_dma(0, 0).start()
 
     @pl.when(si + 1 < s_count)
     def _():
         band_dma((si + 1) % 2, si + 1).start()
+        if acc_tiles:
+            @pl.when(si + 1 < acc_supers)
+            def _():
+                acc_dma((si + 1) % 2, si + 1).start()
 
     slot = si % 2
     band_dma(slot, si).wait()
+    if acc_tiles:
+        @pl.when(si < acc_supers)
+        def _():
+            acc_dma(slot, si).wait()
     base = win_ref[bi * s_count + si]
     for gi in range(G_BAND):
         # accumulate at the lane-padded window width; the store below drops
@@ -745,25 +757,31 @@ def _banded_kernel(
                 preferred_element_type=jnp.float32,
             )
         out = acc[:, : out_ref.shape[2]]
-        if acc_tiles:
-            q = si * G_BAND + gi
-
-            @pl.when(q < acc_tiles)
+        if not acc_tiles:
+            out_ref[0, pl.ds(gi * t, t), :] = out.astype(out_ref.dtype)
+        else:
+            # dual outputs: acc-covered rows -> out_ref, the tail (a
+            # transpose leg's halo row tiles) -> out_halo_ref. Rows past
+            # the split feed a DIFFERENT consumer (the halo-exchange
+            # transpose); a single [R*T, F] output forces the [:NA] slice
+            # to materialize in front of the Pallas assign-tail backward
+            # (+0.69 ms at 100k). Correctness rides the revisit pipeline:
+            # the inactive output's window keeps its resident content and
+            # flushes once after its last visit.
+            @pl.when(si < acc_supers)
             def _():
-                acc_dma(q).wait()
+                out_ref[0, pl.ds(gi * t, t), :] = (
+                    out
+                    + accw[slot, pl.ds(gi * t, t), : out_ref.shape[2]]
+                    .astype(jnp.float32)
+                ).astype(out_ref.dtype)
 
-            @pl.when(q + 1 < acc_tiles)
-            def _():
-                acc_dma(q + 1).start()
-
-            # where (not gate-multiply): the out-of-range slot holds
-            # uninitialized scratch and NaN * 0 would poison halo row tiles
-            out = jnp.where(
-                q < acc_tiles,
-                out + accw[q % 2, :, : out_ref.shape[2]].astype(jnp.float32),
-                out,
-            )
-        out_ref[0, pl.ds(gi * t, t), :] = out.astype(out_ref.dtype)
+            if out_halo_ref is not None:
+                @pl.when(si >= acc_supers)
+                def _():
+                    out_halo_ref[0, pl.ds(gi * t, t), :] = out.astype(
+                        out_halo_ref.dtype
+                    )
 
 
 def _banded_halo_kernel(
@@ -797,12 +815,13 @@ def _banded_halo_kernel(
     t = TILE
     w = W_BAND
 
-    def acc_dma(q):
-        # see _banded_kernel.acc_dma
+    def acc_dma(slot, sj):
+        # see _banded_kernel.acc_dma; this variant's blocks cover exactly
+        # the acc rows (hybrid transpose), so no output split is needed
         return pltpu.make_async_copy(
-            acc_ref.at[0, pl.ds(q * t, t), :],
-            accw.at[q % 2],
-            asem.at[q % 2],
+            acc_ref.at[0, pl.ds(sj * G_BAND * t, G_BAND * t), :],
+            accw.at[slot],
+            asem.at[slot],
         )
 
     def band_dma(slot, sj):
@@ -828,18 +847,22 @@ def _banded_halo_kernel(
         halo_dma(0, 0, 0).start()
         halo_dma(0, 0, 1).start()
         if acc_tiles:
-            acc_dma(0).start()
+            acc_dma(0, 0).start()
 
     @pl.when(si + 1 < s_count)
     def _():
         band_dma((si + 1) % 2, si + 1).start()
         halo_dma((si + 1) % 2, si + 1, 0).start()
         halo_dma((si + 1) % 2, si + 1, 1).start()
+        if acc_tiles:
+            acc_dma((si + 1) % 2, si + 1).start()
 
     slot = si % 2
     band_dma(slot, si).wait()
     halo_dma(slot, si, 0).wait()
     halo_dma(slot, si, 1).wait()
+    if acc_tiles:
+        acc_dma(slot, si).wait()
     base = win_ref[bi * s_count + si]
     hb1 = hwin_ref[(bi * s_count + si) * 2]
     hb2 = hwin_ref[(bi * s_count + si) * 2 + 1]
@@ -866,21 +889,9 @@ def _banded_halo_kernel(
             )
         out = acc[:, : out_ref.shape[2]]
         if acc_tiles:
-            q = si * G_BAND + gi
-
-            @pl.when(q < acc_tiles)
-            def _():
-                acc_dma(q).wait()
-
-            @pl.when(q + 1 < acc_tiles)
-            def _():
-                acc_dma(q + 1).start()
-
-            out = jnp.where(
-                q < acc_tiles,
-                out + accw[q % 2, :, : out_ref.shape[2]].astype(jnp.float32),
-                out,
-            )
+            out = out + accw[
+                slot, pl.ds(gi * t, t), : out_ref.shape[2]
+            ].astype(jnp.float32)
         out_ref[0, pl.ds(gi * t, t), :] = out.astype(out_ref.dtype)
 
 
@@ -938,19 +949,30 @@ def bsr_matmul_banded(
         assert b == 1 and f % 128 == 0 and acc.shape[2] == f, (
             acc.shape, b, f,
         )
-        assert acc.shape[1] % t == 0
+        assert acc.shape[1] % (G_BAND * t) == 0
         acc_tiles = acc.shape[1] // t
         acc_spec = [pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)]
         acc_ops = [acc]
-        acc_scratch = [pltpu.VMEM((2, t, f), acc.dtype)]
+        acc_scratch = [pltpu.VMEM((2, G_BAND * t, f), acc.dtype)]
         acc_sem = [pltpu.SemaphoreType.DMA((2,))]
         acc_bytes = acc.shape[1] * f * jnp.dtype(acc.dtype).itemsize
+        acc_params = pltpu.CompilerParams(
+            # the double-buffered [G*T, F] acc window (~2.4 MB at F=1152)
+            # tips the kernels past the default 16 MB scoped budget;
+            # probed on hardware — the chip accepts the raised stack
+            vmem_limit_bytes=24 * 1024 * 1024,
+        )
     else:
         acc_spec, acc_ops, acc_scratch, acc_sem = [], [], [], []
         acc_bytes = 0
+        acc_params = None
     if halo_win is not None:
         # halo-WINDOWED variant: requires the separate halo array (the mega
         # path always passes one) with at least H_BAND_MAX tiles
+        if acc is not None:
+            # this variant's blocks cover exactly the local rows (hybrid
+            # transpose) — acc must span the whole output
+            assert acc.shape[1] == r * t, (acc.shape, r)
         assert halo is not None and n == ns_rows
         assert halo.shape[1] % t == 0
         h_total = halo.shape[1] // t
@@ -986,12 +1008,7 @@ def bsr_matmul_banded(
             out_shape=jax.ShapeDtypeStruct((b, r * t, f), x.dtype),
             grid_spec=grid_spec,
             interpret=_INTERPRET,
-            compiler_params=pltpu.CompilerParams(
-                # the acc tile pair (~0.6 MB) tips this variant 300 KB over
-                # the default 16 MB scoped budget; probed on hardware —
-                # the chip accepts the raised stack
-                vmem_limit_bytes=20 * 1024 * 1024,
-            ) if acc_tiles else None,
+            compiler_params=acc_params,
             cost_estimate=pl.CostEstimate(
                 flops=2 * b * r * m * t * t * f_pad,
                 bytes_accessed=(
@@ -1015,6 +1032,33 @@ def bsr_matmul_banded(
         h_tiles = halo.shape[1] // t
         xh, halo_off = halo, 0
     assert 0 <= h_tiles <= H_BAND_MAX, h_tiles
+    if acc_tiles and acc_tiles < r:
+        # dual outputs (acc rows | tail rows); both out windows rely on
+        # the revisit pipeline — inactive steps clamp to the nearest real
+        # block and leave its resident content untouched until the single
+        # final flush
+        acc_supers = acc_tiles // G_BAND
+        out_specs = [
+            pl.BlockSpec(
+                (1, G_BAND * t, f),
+                lambda bi, si, bc, wn: (bi, jnp.minimum(si, acc_supers - 1),
+                                        0),
+            ),
+            pl.BlockSpec(
+                (1, G_BAND * t, f),
+                lambda bi, si, bc, wn: (bi, jnp.maximum(si - acc_supers, 0),
+                                        0),
+            ),
+        ]
+        out_shape = [
+            jax.ShapeDtypeStruct((b, acc_tiles * t, f), x.dtype),
+            jax.ShapeDtypeStruct((b, (r - acc_tiles) * t, f), x.dtype),
+        ]
+    else:
+        out_specs = pl.BlockSpec(
+            (1, G_BAND * t, f), lambda bi, si, bc, wn: (bi, si, 0)
+        )
+        out_shape = jax.ShapeDtypeStruct((b, r * t, f), x.dtype)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(b, s_count),
@@ -1031,9 +1075,7 @@ def bsr_matmul_banded(
                 lambda bi, si, bc, wn: (bi, si, 0, 0, 0),
             ),
         ],
-        out_specs=pl.BlockSpec(
-            (1, G_BAND * t, f), lambda bi, si, bc, wn: (bi, si, 0)
-        ),
+        out_specs=out_specs,
         scratch_shapes=[
             pltpu.VMEM((2, (W_BAND + h_tiles) * t, f_pad), x.dtype),
             *acc_scratch,
@@ -1047,9 +1089,10 @@ def bsr_matmul_banded(
             _banded_kernel, r=r, m_cap=m, ns_tiles=ns_tiles,
             h_tiles=h_tiles, halo_off=halo_off, acc_tiles=acc_tiles,
         ),
-        out_shape=jax.ShapeDtypeStruct((b, r * t, f), x.dtype),
+        out_shape=out_shape,
         grid_spec=grid_spec,
         interpret=_INTERPRET,
+        compiler_params=acc_params,
         cost_estimate=pl.CostEstimate(
             flops=2 * b * r * m * t * t * f_pad,
             bytes_accessed=(

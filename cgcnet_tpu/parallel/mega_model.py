@@ -259,6 +259,138 @@ def _cpc_bwd(chunk, res, cts):
 _chunked_pool_contract.defvjp(_cpc_fwd, _cpc_bwd)
 
 
+def _pa_primal(axis, vals, blk_cols, win, vals_t, blk_cols_t, win_t,
+               win_halo, nbr_t_h, mask_t_h, scale, self_w, pool_ratio,
+               req_idx, req_mask, s, pembed):
+    from cgcnet_tpu.ops.ell import bsr_local_matmul
+
+    halo = _halo_exchange(s, req_idx, req_mask, axis)
+    nc = blk_cols_t.shape[1] * 128 + (
+        nbr_t_h.shape[0] if nbr_t_h is not None else 0
+    )
+    hp = nc - s.shape[0] - halo.shape[0]
+    if hp:
+        halo = jnp.concatenate(
+            [halo, jnp.zeros((hp, halo.shape[1]), halo.dtype)], 0
+        )
+    agg = bsr_local_matmul(
+        vals, blk_cols, win, vals_t, blk_cols_t, win_t, s, halo,
+        win_halo, nbr_t_h, mask_t_h,
+    )
+    a_s = scale[:, None] * agg + self_w[:, None] * s
+    return (
+        jnp.einsum("nc,nf->cf", s, pembed),
+        jnp.einsum("nc,nd->cd", s, a_s),
+        a_s,
+    )
+
+
+@_functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _pool_aggregate(axis, vals, blk_cols, win, vals_t, blk_cols_t, win_t,
+                    win_halo, nbr_t_h, mask_t_h, scale, self_w, pool_ratio,
+                    req_idx, req_mask, s, pembed):
+    """(S^T pembed, S^T A S) with the aggregation A S INSIDE the VJP
+    boundary — the banded-transpose fast path (round 5).
+
+    Composable autodiff assembles ct_s as a separate full-width pass over
+    FOUR [N, C]-class operands (the two pool-contraction products, the
+    self-loop term, and the A^T leg's output — fusion.2340, 2.04 ms at
+    100k nuclei, 83% of its 1.39 GB bound). Owning the whole chain lets
+    the backward hand the summed ds contributions to the banded transpose
+    kernel as its in-kernel row accumulator (bsr_matmul_banded ``acc``),
+    so the A^T output is never re-read and ct_s is written exactly once.
+
+    Engaged by ``pool1_segment`` only when the banded transpose is
+    available (win_t nonbare, lane-multiple C, <=2-byte activations) and
+    the assign tail is unchunked; all other paths keep the composable
+    ``adj(s)`` + ``_chunked_pool_contract`` form. Matches the DiffPool
+    contraction pair at /root/reference/model/network.py:206-207 at slide
+    scale."""
+    x_pool, adj_pool, _ = _pa_primal(
+        axis, vals, blk_cols, win, vals_t, blk_cols_t, win_t, win_halo,
+        nbr_t_h, mask_t_h, scale, self_w, pool_ratio, req_idx, req_mask,
+        s, pembed,
+    )
+    return x_pool, adj_pool
+
+
+def _pa_fwd(axis, vals, blk_cols, win, vals_t, blk_cols_t, win_t,
+            win_halo, nbr_t_h, mask_t_h, scale, self_w, pool_ratio,
+            req_idx, req_mask, s, pembed):
+    x_pool, adj_pool, a_s = _pa_primal(
+        axis, vals, blk_cols, win, vals_t, blk_cols_t, win_t, win_halo,
+        nbr_t_h, mask_t_h, scale, self_w, pool_ratio, req_idx, req_mask,
+        s, pembed,
+    )
+    res = (vals, blk_cols, win, vals_t, blk_cols_t, win_t, win_halo,
+           nbr_t_h, mask_t_h, scale, self_w, pool_ratio, req_idx, req_mask,
+           s, pembed, a_s)
+    return (x_pool, adj_pool), res
+
+
+def _pa_bwd(axis, res, cts):
+    from cgcnet_tpu.ops.ell import ell_gather_sum
+    from cgcnet_tpu.ops.pallas.bsr_kernel import bsr_matmul_banded
+
+    (vals, blk_cols, win, vals_t, blk_cols_t, win_t, win_halo, nbr_t_h,
+     mask_t_h, scale, self_w, pool_ratio, req_idx, req_mask, s, pembed,
+     a_s) = res
+    ct_x, ct_adj = cts
+    dt = s.dtype
+    ctx = ct_x.astype(dt)
+    cta = ct_adj.astype(dt)
+    d_pembed = s @ ctx
+    d_a_s = s @ cta                                       # [N, C]
+    g = scale[:, None] * d_a_s
+    # every ct_s contribution EXCEPT the A^T leg, summed once — this is
+    # the kernel's acc operand. The self-loop term uses
+    # ratio * g == self_w * d_a_s (pool_ratio, exact by construction) so
+    # g is d_a_s's ONLY consumer and the scale multiply fuses into the
+    # matmul epilogue instead of a standalone full-width pass.
+    acc = pembed @ ctx.T + a_s @ cta.T + pool_ratio[:, None] * g
+    # pool1_segment only routes here when the banded transpose engages;
+    # with acc the kernel emits (local rows, tail rows) as SEPARATE
+    # outputs, so neither consumer needs a materialized slice
+    res_t = bsr_matmul_banded(
+        vals_t, blk_cols_t, win_t, g[None], ns_rows=g.shape[0],
+        acc=acc[None],
+    )
+    if isinstance(res_t, (tuple, list)):
+        ds, d_halo = res_t[0][0], res_t[1][0]
+    else:
+        ds, d_halo = res_t[0], None
+    if nbr_t_h is not None and nbr_t_h.shape[0]:
+        # hybrid transpose: halo rows' in-edges as an ELL gather
+        # (ops/ell._bsr_local_bwd's contract)
+        d_halo = ell_gather_sum(
+            nbr_t_h[None], mask_t_h.astype(dt)[None], g[None]
+        )[0]
+    if d_halo is not None and d_halo.shape[0]:
+        # route the halo rows' cotangent back to their owner shards
+        # through the halo-exchange transpose (scatter-add into local rows
+        # + the reverse all_to_all — the composable path's autodiff)
+        halo_nat, hx_vjp = jax.vjp(
+            lambda h_: _halo_exchange(h_, req_idx, req_mask, axis), s
+        )
+        ds = ds + hx_vjp(
+            d_halo[: halo_nat.shape[0]].astype(halo_nat.dtype)
+        )[0]
+    z = jax.tree.map(
+        jnp.zeros_like,
+        (vals, blk_cols, win, vals_t, blk_cols_t, win_t),
+    )
+    z_hw = None if win_halo is None else jnp.zeros_like(win_halo)
+    z_nh = None if nbr_t_h is None else jnp.zeros_like(nbr_t_h)
+    z_mh = None if mask_t_h is None else jnp.zeros_like(mask_t_h)
+    return (*z, z_hw, z_nh, z_mh, jnp.zeros_like(scale),
+            jnp.zeros_like(self_w), jnp.zeros_like(pool_ratio),
+            jnp.zeros_like(req_idx),
+            jnp.zeros_like(req_mask), ds, d_pembed)
+
+
+_pool_aggregate.defvjp(_pa_fwd, _pa_bwd)
+
+
 def _act(name):
     from cgcnet_tpu.nn.layers import activation
 
@@ -615,6 +747,13 @@ class _ShardedAdj:
             p = cfg.self_weight
             self.scale = ((1.0 - p) / (deg + EPS) * inputs.valid).astype(dt)
             self.self_w = (p * inputs.valid).astype(dt)
+            # self_w / scale, formed from deg (no runtime division): lets
+            # _pa_bwd write the self-loop term as ratio * (scale * d_a_s)
+            # so d_a_s has ONE consumer and the scale multiply fuses into
+            # the d_a_s matmul epilogue (was a 0.71 ms standalone pass)
+            self.pool_ratio = (
+                p / (1.0 - p) * (deg + EPS) * inputs.valid
+            ).astype(dt)
             # renormalized rows sum to <= 1, so SAGE's clamp(min=1) pins the
             # mean denominator at exactly 1 — same contract as
             # nn.model.make_stage1_adj (keeps any cfg.self_weight consistent)
@@ -633,6 +772,7 @@ class _ShardedAdj:
             )
             self.scale = inputs.valid.astype(dt)
             self.self_w = (has_self * inputs.valid).astype(dt)
+            self.pool_ratio = self.self_w  # scale == valid here
             self._rowsum = (deg + has_self) * inputs.valid
 
     def concat_halo(self, h):
@@ -710,6 +850,33 @@ class _ShardedAdj:
 
     def rowsum(self):
         return self._rowsum
+
+    def pool_aggregate_args(self):
+        """The table/vector args for the fused ``_pool_aggregate`` VJP, or
+        None when its banded-transpose backward cannot engage (non-BSR
+        adjacency, or no transpose window table)."""
+        if not self.bsr or self.inp.win_base_t is None:
+            return None
+        win = (
+            self.inp.win_base.reshape(1, -1)
+            if self.inp.win_base is not None
+            else jnp.zeros((1, 0), jnp.int32)
+        )
+        win_t = self.inp.win_base_t.reshape(1, -1)
+        win_halo = (
+            self.inp.win_halo.reshape(1, -1)
+            if self.inp.win_halo is not None
+            else jnp.zeros((1, 0), jnp.int32)
+        )
+        tr = self.inp.blk_cols_t.shape[0] * 128
+        if tr < self.inp.nbr_t.shape[0]:
+            nbr_t_h, mask_t_h = self.inp.nbr_t[tr:], self.inp.mask_t[tr:]
+        else:
+            nbr_t_h = mask_t_h = None
+        return (self.vals, self.inp.blk_cols[None], win, self.vals_t,
+                self.inp.blk_cols_t[None], win_t, win_halo, nbr_t_h,
+                mask_t_h, self.scale, self.self_w, self.pool_ratio,
+                self.inp.req_idx, self.inp.req_mask)
 
 
 def mega_forward(
@@ -940,6 +1107,29 @@ def mega_forward(
                 s = jax.nn.softmax(assign.astype(jnp.float32), -1).astype(
                     dtype
                 ) * valid[:, None]
+            from cgcnet_tpu.ops.pallas.assign_head import pick_chunk
+            from cgcnet_tpu.ops.pallas.bsr_kernel import BAND_MIN_F
+
+            ch_seg = (
+                pick_chunk(s.shape[0], cfg.assign_tail_chunk)
+                if (train and cfg.assign_tail_chunk) else 0
+            )
+            pa = adj.pool_aggregate_args() if not ch_seg else None
+            if (
+                pa is not None
+                and jnp.dtype(s.dtype).itemsize <= 2
+                and s.shape[1] % 128 == 0
+                and s.shape[1] >= BAND_MIN_F
+            ):
+                # fused aggregation+contraction VJP: ct_s assembled inside
+                # the banded transpose kernel (acc operand) instead of a
+                # separate 4-operand full-width pass
+                x_pool, adj_pool = _pool_aggregate(axis, *pa, s, pembed)
+                x_pool, adj_pool = jax.lax.psum((x_pool, adj_pool), axis)
+                if x_pool.shape[0] != d1:
+                    x_pool = x_pool[:d1]
+                    adj_pool = adj_pool[:d1, :d1]
+                return x_pool, adj_pool, so
             a_s = adj(s)                                         # [Ns, d1]
             # TWO row-contracting einsums + one (tree) psum. The patch path
             # fuses these into one [d1, Ns] @ [Ns, F+d1] matmul
@@ -953,12 +1143,6 @@ def mega_forward(
             # (copy.275/broadcast_in_dim.2417 in slide_scale_r4). The MXU
             # contracts over dim 0 natively (weight-gradient orientation,
             # same as _atf_bwd's dk3f einsum at ~80% of bound).
-            from cgcnet_tpu.ops.pallas.assign_head import pick_chunk
-
-            ch_seg = (
-                pick_chunk(s.shape[0], cfg.assign_tail_chunk)
-                if (train and cfg.assign_tail_chunk) else 0
-            )
             # custom-VJP backward on BOTH paths (round 5): d(A S) as ONE
             # matmul and ds assembled per static chunk as
             # (pc @ ctx^T + ac @ cta^T) in one expression — on the

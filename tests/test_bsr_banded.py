@@ -218,20 +218,22 @@ def test_banded_acc_matches_post_add(rng):
     ns_tiles, h_tiles, f = 16, 1, 128  # acc needs a lane-multiple F
     x = rng.normal(size=(1, (ns_tiles + h_tiles) * T, f)).astype(np.float32)
     win = bk.band_window_table(blk_cols[0], blk_mask[0], ns_tiles)
-    # acc covers 3 of the 4 super tiles (12 of 16 row tiles)
+    # acc covers 3 of the 4 super tiles (12 of 16 row tiles); the kernel
+    # then emits (acc rows, tail rows) as separate outputs
     na = 12 * T
     acc = rng.normal(size=(1, na, f)).astype(np.float32)
     base = bk.bsr_matmul_banded(
         jnp.asarray(vals), jnp.asarray(blk_cols), jnp.asarray(win)[None],
         jnp.asarray(x), ns_rows=ns_tiles * T,
     )
-    out = bk.bsr_matmul_banded(
+    loc, tail = bk.bsr_matmul_banded(
         jnp.asarray(vals), jnp.asarray(blk_cols), jnp.asarray(win)[None],
         jnp.asarray(x), ns_rows=ns_tiles * T, acc=jnp.asarray(acc),
     )
     ref = np.array(base)
     ref[:, :na] += acc[0]
-    np.testing.assert_allclose(np.asarray(out), ref, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(loc), ref[:, :na], atol=1e-5)
+    np.testing.assert_allclose(np.asarray(tail), ref[:, na:], atol=1e-5)
 
 
 def test_banded_halo_window_acc_matches_post_add(rng):
