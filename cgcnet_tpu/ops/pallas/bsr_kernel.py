@@ -671,13 +671,15 @@ def _banded_kernel(
                     # xw scratch [2, (W+H)*T, F], sems DMA (2,),
                     # [accw scratch (2, T, F), asem DMA (2,) (when acc)]
     r: int, m_cap: int, ns_tiles: int, h_tiles: int, halo_off: int,
-    acc_tiles: int = 0,
+    acc_tiles: int = 0, epilogue: bool = False,
 ):
     out_halo_ref = None
     if acc_tiles and acc_tiles < r:
         acc_ref, vals_ref, out_ref, out_halo_ref, xw, accw, sems, asem = refs
     elif acc_tiles:
         acc_ref, vals_ref, out_ref, xw, accw, sems, asem = refs
+    elif epilogue:
+        sw_ref, vals_ref, out_ref, xw, sww, srw, sems, esem = refs
     else:
         vals_ref, out_ref, xw, sems = refs
     bi = pl.program_id(0)
@@ -698,6 +700,24 @@ def _banded_kernel(
             acc_ref.at[0, pl.ds(sj * G_BAND * t, G_BAND * t), :],
             accw.at[slot],
             asem.at[slot],
+        )
+
+    def epi_dmas(slot, sj):
+        # forward _ShardedAdj epilogue (round 5): out = scale*(A@x) +
+        # self_w*x_rows — x rows at the OUTPUT offset (x IS s on the A@S
+        # leg) plus the [*, 128]-packed scale/self_w lanes, both on the
+        # band DMA cadence
+        return (
+            pltpu.make_async_copy(
+                x_ref.at[bi, pl.ds(sj * G_BAND * t, G_BAND * t), :],
+                srw.at[slot],
+                esem.at[0, slot],
+            ),
+            pltpu.make_async_copy(
+                sw_ref.at[0, pl.ds(sj * G_BAND * t, G_BAND * t), :],
+                sww.at[slot],
+                esem.at[1, slot],
+            ),
         )
 
     def band_dma(slot, sj):
@@ -723,6 +743,9 @@ def _banded_kernel(
         band_dma(0, 0).start()
         if acc_tiles:
             acc_dma(0, 0).start()
+        if epilogue:
+            for c in epi_dmas(0, 0):
+                c.start()
 
     @pl.when(si + 1 < s_count)
     def _():
@@ -731,6 +754,9 @@ def _banded_kernel(
             @pl.when(si + 1 < acc_supers)
             def _():
                 acc_dma((si + 1) % 2, si + 1).start()
+        if epilogue:
+            for c in epi_dmas((si + 1) % 2, si + 1):
+                c.start()
 
     slot = si % 2
     band_dma(slot, si).wait()
@@ -738,6 +764,9 @@ def _banded_kernel(
         @pl.when(si < acc_supers)
         def _():
             acc_dma(slot, si).wait()
+    if epilogue:
+        for c in epi_dmas(slot, si):
+            c.wait()
     base = win_ref[bi * s_count + si]
     for gi in range(G_BAND):
         # accumulate at the lane-padded window width; the store below drops
@@ -757,6 +786,12 @@ def _banded_kernel(
                 preferred_element_type=jnp.float32,
             )
         out = acc[:, : out_ref.shape[2]]
+        if epilogue:
+            f_out = out_ref.shape[2]
+            sc = sww[slot, pl.ds(gi * t, t), 0:1].astype(jnp.float32)
+            sf = sww[slot, pl.ds(gi * t, t), 1:2].astype(jnp.float32)
+            st = srw[slot, pl.ds(gi * t, t), :f_out].astype(jnp.float32)
+            out = sc * out + sf * st
         if not acc_tiles:
             out_ref[0, pl.ds(gi * t, t), :] = out.astype(out_ref.dtype)
         else:
@@ -797,6 +832,7 @@ def _banded_halo_kernel(
                     # sems DMA (3, 2): [0]=band, [1]/[2]=halo subs,
                     # [accw scratch (2, T, F), asem DMA (2,) (when acc)]
     r: int, m_cap: int, ns_tiles: int, acc_tiles: int = 0,
+    epilogue: bool = False,
 ):
     """Halo-WINDOWED variant of _banded_kernel (round 5): instead of a
     resident halo tail copied once per batch (dies at H > H_BAND_MAX tiles
@@ -807,6 +843,8 @@ def _banded_halo_kernel(
     (band_window_table_halo)."""
     if acc_tiles:
         acc_ref, vals_ref, out_ref, xw, accw, sems, asem = refs
+    elif epilogue:
+        sw_ref, vals_ref, out_ref, xw, sww, srw, sems, esem = refs
     else:
         vals_ref, out_ref, xw, sems = refs
     bi = pl.program_id(0)
@@ -822,6 +860,21 @@ def _banded_halo_kernel(
             acc_ref.at[0, pl.ds(sj * G_BAND * t, G_BAND * t), :],
             accw.at[slot],
             asem.at[slot],
+        )
+
+    def epi_dmas(slot, sj):
+        # see _banded_kernel.epi_dmas
+        return (
+            pltpu.make_async_copy(
+                x_ref.at[bi, pl.ds(sj * G_BAND * t, G_BAND * t), :],
+                srw.at[slot],
+                esem.at[0, slot],
+            ),
+            pltpu.make_async_copy(
+                sw_ref.at[0, pl.ds(sj * G_BAND * t, G_BAND * t), :],
+                sww.at[slot],
+                esem.at[1, slot],
+            ),
         )
 
     def band_dma(slot, sj):
@@ -848,6 +901,9 @@ def _banded_halo_kernel(
         halo_dma(0, 0, 1).start()
         if acc_tiles:
             acc_dma(0, 0).start()
+        if epilogue:
+            for c in epi_dmas(0, 0):
+                c.start()
 
     @pl.when(si + 1 < s_count)
     def _():
@@ -856,6 +912,9 @@ def _banded_halo_kernel(
         halo_dma((si + 1) % 2, si + 1, 1).start()
         if acc_tiles:
             acc_dma((si + 1) % 2, si + 1).start()
+        if epilogue:
+            for c in epi_dmas((si + 1) % 2, si + 1):
+                c.start()
 
     slot = si % 2
     band_dma(slot, si).wait()
@@ -863,6 +922,9 @@ def _banded_halo_kernel(
     halo_dma(slot, si, 1).wait()
     if acc_tiles:
         acc_dma(slot, si).wait()
+    if epilogue:
+        for c in epi_dmas(slot, si):
+            c.wait()
     base = win_ref[bi * s_count + si]
     hb1 = hwin_ref[(bi * s_count + si) * 2]
     hb2 = hwin_ref[(bi * s_count + si) * 2 + 1]
@@ -892,6 +954,12 @@ def _banded_halo_kernel(
             out = out + accw[
                 slot, pl.ds(gi * t, t), : out_ref.shape[2]
             ].astype(jnp.float32)
+        if epilogue:
+            f_out = out_ref.shape[2]
+            sc = sww[slot, pl.ds(gi * t, t), 0:1].astype(jnp.float32)
+            sf = sww[slot, pl.ds(gi * t, t), 1:2].astype(jnp.float32)
+            st = srw[slot, pl.ds(gi * t, t), :f_out].astype(jnp.float32)
+            out = sc * out + sf * st
         out_ref[0, pl.ds(gi * t, t), :] = out.astype(out_ref.dtype)
 
 
@@ -916,6 +984,13 @@ def bsr_matmul_banded(
                                    #   lane multiple (manual-DMA minor
                                    #   alignment); callers fall back to the
                                    #   out-of-kernel add otherwise.
+    epilogue_sw: jax.Array | None = None,  # [1, R*T, 128] with lane 0 =
+                                   #   per-row scale, lane 1 = self_w:
+                                   #   emit scale*(A@x) + self_w*x_row
+                                   #   in-kernel (the forward _ShardedAdj
+                                   #   epilogue — x IS s on the A@S leg,
+                                   #   re-read at the output row offset).
+                                   #   Mutually exclusive with ``acc``.
 ) -> jax.Array:
     """A @ x with G_BAND row tiles per grid step sharing one manually
     double-buffered column-tile window of x — the slide-scale variant of
@@ -966,6 +1041,25 @@ def bsr_matmul_banded(
         acc_spec, acc_ops, acc_scratch, acc_sem = [], [], [], []
         acc_bytes = 0
         acc_params = None
+    epi = epilogue_sw is not None
+    if epi:
+        assert acc is None, "acc and epilogue_sw are mutually exclusive"
+        assert b == 1 and epilogue_sw.shape[1] == r * t \
+            and epilogue_sw.shape[2] == 128, (epilogue_sw.shape, r)
+        acc_spec = [pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)]
+        acc_ops = [epilogue_sw]
+        acc_scratch = [
+            pltpu.VMEM((2, G_BAND * t, 128), epilogue_sw.dtype),
+            pltpu.VMEM((2, G_BAND * t, f_pad), x.dtype),
+        ]
+        acc_sem = [pltpu.SemaphoreType.DMA((2, 2))]
+        acc_bytes = (
+            r * t * (128 * jnp.dtype(epilogue_sw.dtype).itemsize
+                     + f_pad * itemsize_)
+        )
+        acc_params = pltpu.CompilerParams(
+            vmem_limit_bytes=24 * 1024 * 1024,
+        )
     if halo_win is not None:
         # halo-WINDOWED variant: requires the separate halo array (the mega
         # path always passes one) with at least H_BAND_MAX tiles
@@ -1003,7 +1097,7 @@ def bsr_matmul_banded(
         return pl.pallas_call(
             functools.partial(
                 _banded_halo_kernel, r=r, m_cap=m, ns_tiles=ns_tiles,
-                acc_tiles=acc_tiles,
+                acc_tiles=acc_tiles, epilogue=epi,
             ),
             out_shape=jax.ShapeDtypeStruct((b, r * t, f), x.dtype),
             grid_spec=grid_spec,
@@ -1088,6 +1182,7 @@ def bsr_matmul_banded(
         functools.partial(
             _banded_kernel, r=r, m_cap=m, ns_tiles=ns_tiles,
             h_tiles=h_tiles, halo_off=halo_off, acc_tiles=acc_tiles,
+            epilogue=epi,
         ),
         out_shape=out_shape,
         grid_spec=grid_spec,

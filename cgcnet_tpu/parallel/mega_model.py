@@ -263,6 +263,9 @@ def _pa_primal(axis, vals, blk_cols, win, vals_t, blk_cols_t, win_t,
                win_halo, nbr_t_h, mask_t_h, scale, self_w, pool_ratio,
                req_idx, req_mask, s, pembed):
     from cgcnet_tpu.ops.ell import bsr_local_matmul
+    from cgcnet_tpu.ops.pallas.bsr_kernel import (
+        BAND_MIN_F, bsr_matmul_banded,
+    )
 
     halo = _halo_exchange(s, req_idx, req_mask, axis)
     nc = blk_cols_t.shape[1] * 128 + (
@@ -273,11 +276,31 @@ def _pa_primal(axis, vals, blk_cols, win, vals_t, blk_cols_t, win_t,
         halo = jnp.concatenate(
             [halo, jnp.zeros((hp, halo.shape[1]), halo.dtype)], 0
         )
-    agg = bsr_local_matmul(
-        vals, blk_cols, win, vals_t, blk_cols_t, win_t, s, halo,
-        win_halo, nbr_t_h, mask_t_h,
-    )
-    a_s = scale[:, None] * agg + self_w[:, None] * s
+    f = s.shape[1]
+    # the in-kernel _ShardedAdj epilogue (bsr_matmul_banded epilogue_sw=)
+    # was MEASURED A REGRESSION here: 36.04 -> 36.9 ms at 100k — the
+    # forward leg's band-window DMA is already the binding stream, so the
+    # +231 MB s re-read at the output offset costs more than the fused
+    # scale/self_w pass saves (add_bitcast.12 is 83% of ITS bound). Keep
+    # the composable epilogue; the kernel capability stays (tested,
+    # hardware-probed) for shapes where the leg is MXU-bound.
+    if False and win.shape[-1] and f >= BAND_MIN_F and f % 128 == 0 \
+            and jnp.dtype(s.dtype).itemsize <= 2:
+        sw = (
+            jnp.zeros((s.shape[0], 128), s.dtype)
+            .at[:, 0].set(scale).at[:, 1].set(self_w)
+        )
+        hw = win_halo if win_halo.shape[-1] else None
+        a_s = bsr_matmul_banded(
+            vals, blk_cols, win, s[None], ns_rows=s.shape[0],
+            halo=halo[None], halo_win=hw, epilogue_sw=sw[None],
+        )[0]
+    else:
+        agg = bsr_local_matmul(
+            vals, blk_cols, win, vals_t, blk_cols_t, win_t, s, halo,
+            win_halo, nbr_t_h, mask_t_h,
+        )
+        a_s = scale[:, None] * agg + self_w[:, None] * s
     return (
         jnp.einsum("nc,nf->cf", s, pembed),
         jnp.einsum("nc,nd->cd", s, a_s),

@@ -258,3 +258,53 @@ def test_banded_halo_window_acc_matches_post_add(rng):
     np.testing.assert_allclose(
         np.asarray(out), np.asarray(base) + acc[0], atol=1e-5
     )
+
+
+def test_banded_epilogue_matches_post_scale(rng):
+    """epilogue_sw= (in-kernel forward _ShardedAdj epilogue) ==
+    scale*(A@x) + self_w*x_rows applied outside."""
+    blk_cols, blk_mask, vals = make_banded(rng)
+    ns_tiles, h_tiles, f = 16, 1, 128
+    x = rng.normal(size=(1, (ns_tiles + h_tiles) * T, f)).astype(np.float32)
+    win = bk.band_window_table(blk_cols[0], blk_mask[0], ns_tiles)
+    scale = rng.normal(size=(16 * T,)).astype(np.float32)
+    self_w = rng.normal(size=(16 * T,)).astype(np.float32)
+    sw = np.zeros((1, 16 * T, 128), np.float32)
+    sw[0, :, 0], sw[0, :, 1] = scale, self_w
+    base = bk.bsr_matmul_banded(
+        jnp.asarray(vals), jnp.asarray(blk_cols), jnp.asarray(win)[None],
+        jnp.asarray(x), ns_rows=ns_tiles * T,
+    )
+    out = bk.bsr_matmul_banded(
+        jnp.asarray(vals), jnp.asarray(blk_cols), jnp.asarray(win)[None],
+        jnp.asarray(x), ns_rows=ns_tiles * T, epilogue_sw=jnp.asarray(sw),
+    )
+    ref = (scale[:, None] * np.asarray(base)[0]
+           + self_w[:, None] * x[0, : 16 * T])
+    np.testing.assert_allclose(np.asarray(out)[0], ref, atol=2e-4)
+
+
+def test_banded_halo_window_epilogue_matches_post_scale(rng):
+    ns_tiles, h_total, f = 16, 12, 128
+    blk_cols, blk_mask, vals = make_banded_big_halo(
+        rng, ns_tiles=ns_tiles, h_total=h_total
+    )
+    x = rng.normal(size=(1, ns_tiles * T, f)).astype(np.float32)
+    halo = rng.normal(size=(1, h_total * T, f)).astype(np.float32)
+    win, hwin = bk.band_window_table_halo(
+        blk_cols[0], blk_mask[0], ns_tiles, h_total
+    )
+    scale = rng.normal(size=(ns_tiles * T,)).astype(np.float32)
+    self_w = rng.normal(size=(ns_tiles * T,)).astype(np.float32)
+    sw = np.zeros((1, ns_tiles * T, 128), np.float32)
+    sw[0, :, 0], sw[0, :, 1] = scale, self_w
+    args = (jnp.asarray(vals), jnp.asarray(blk_cols), jnp.asarray(win)[None])
+    kw = dict(ns_rows=ns_tiles * T, halo=jnp.asarray(halo),
+              halo_win=jnp.asarray(hwin)[None])
+    base = bk.bsr_matmul_banded(*args, jnp.asarray(x), **kw)
+    out = bk.bsr_matmul_banded(
+        *args, jnp.asarray(x), epilogue_sw=jnp.asarray(sw), **kw
+    )
+    ref = (scale[:, None] * np.asarray(base)[0]
+           + self_w[:, None] * x[0])
+    np.testing.assert_allclose(np.asarray(out)[0], ref, atol=2e-4)
