@@ -344,6 +344,10 @@ def _dual_lin(
     return out
 
 
+import functools as _ft
+
+
+@_ft.partial(jax.custom_vjp, nondiff_argnums=(1,))
 def dual_l2norm_2d(cat: jax.Array, f: int) -> jax.Array:
     """Row L2-normalize each half of a [..., 2F] dual-stream concat, all 2D.
 
@@ -352,8 +356,21 @@ def dual_l2norm_2d(cat: jax.Array, f: int) -> jax.Array:
     lane-slice reductions instead of a [..., 2, F] reshape: the 3D f32
     intermediate tiles 2 sublanes to 8 and F=20 lanes to 128 (~17x pad),
     and its autodiff emits {0,1}->{1,0} relayout copies of the broadcast
-    norm (2 x 155 us/step at 100k nuclei, round-5 slide profile). Returns
-    f32 (caller applies mask/act/BN and casts)."""
+    norm (2 x 155 us/step at 100k nuclei, round-5 slide profile).
+
+    Returns ``cat.dtype`` (the callers cast immediately anyway — same
+    rounding point), and carries a hand-written VJP: the composable
+    backward materialized ~1.7 ms/step of narrow-lane f32 slice pieces
+    ([n, 20/40] f32 tensors pay 3-6x lane padding); this one computes
+    d_cat = g/n - y * (sum(y*g)/n) per stream in one [..., 2F]-wide pass
+    with f32 internals and bf16-container IO. The max(norm, eps) kink:
+    for a zero row the norm is the eps constant (zero derivative), and
+    the formula degenerates to g/eps exactly like autodiff's max rule."""
+    out, _ = _dual_l2norm_fwd(cat, f)
+    return out
+
+
+def _dual_l2norm_fwd(cat, f):
     c32 = cat.astype(jnp.float32)
     a, b = c32[..., :f], c32[..., f:]
     na = jnp.maximum(
@@ -362,7 +379,40 @@ def dual_l2norm_2d(cat: jax.Array, f: int) -> jax.Array:
     nb = jnp.maximum(
         jnp.sqrt(jnp.sum(b * b, axis=-1, keepdims=True)), 1e-12
     )
-    return jnp.concatenate([a / na, b / nb], axis=-1)
+    out = jnp.concatenate([a / na, b / nb], axis=-1).astype(cat.dtype)
+    return out, cat
+
+
+def _dual_l2norm_bwd(f, cat, g):
+    c32 = cat.astype(jnp.float32)
+    g32 = g.astype(jnp.float32)
+    a, b = c32[..., :f], c32[..., f:]
+    ga, gb = g32[..., :f], g32[..., f:]
+    na = jnp.maximum(
+        jnp.sqrt(jnp.sum(a * a, axis=-1, keepdims=True)), 1e-12
+    )
+    nb = jnp.maximum(
+        jnp.sqrt(jnp.sum(b * b, axis=-1, keepdims=True)), 1e-12
+    )
+    # d(a/na) = g/na - a * (a.g)/na^3; on the clamped branch (norm < eps,
+    # na == eps constant) d(na) = 0, so only g/na survives — the second
+    # term must be ZEROED there (its /eps^3 would explode for near-zero
+    # rows that autodiff's max rule protects)
+    ra = jnp.where(
+        na > 1e-12,
+        jnp.sum(a * ga, axis=-1, keepdims=True) / (na * na * na),
+        0.0,
+    )
+    rb = jnp.where(
+        nb > 1e-12,
+        jnp.sum(b * gb, axis=-1, keepdims=True) / (nb * nb * nb),
+        0.0,
+    )
+    d = jnp.concatenate([ga / na - a * ra, gb / nb - b * rb], axis=-1)
+    return (d.astype(cat.dtype),)
+
+
+dual_l2norm_2d.defvjp(_dual_l2norm_fwd, _dual_l2norm_bwd)
 
 
 def _dual_tail(

@@ -143,3 +143,44 @@ def test_gin_falls_back(rng):
     e, p = paired.apply(v, x, adj, mask)
     assert np.isfinite(np.asarray(e)).all()
     assert np.isfinite(np.asarray(p)).all()
+
+
+def test_dual_l2norm_custom_vjp_matches_autodiff():
+    """The hand-written dual_l2norm_2d backward == autodiff of the
+    composable form (incl. zero rows and a near-zero row that probes the
+    max(norm, eps) clamp guard)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from cgcnet_tpu.nn.blocks import dual_l2norm_2d
+
+    f = 5
+    rng = np.random.default_rng(0)
+    cat = rng.normal(size=(8, 2 * f)).astype(np.float32)
+    cat[3] = 0.0                    # pad row
+    cat[5, :f] = 1e-13              # near-zero stream (clamped branch)
+    cat = jnp.asarray(cat)
+
+    def ref(c):
+        c32 = c.astype(jnp.float32)
+        a, b = c32[..., :f], c32[..., f:]
+        na = jnp.maximum(jnp.sqrt(jnp.sum(a * a, -1, keepdims=True)), 1e-12)
+        nb = jnp.maximum(jnp.sqrt(jnp.sum(b * b, -1, keepdims=True)), 1e-12)
+        return jnp.concatenate([a / na, b / nb], -1).astype(c.dtype)
+
+    g = jnp.asarray(rng.normal(size=(8, 2 * f)).astype(np.float32))
+    out, vjp = jax.vjp(lambda c: dual_l2norm_2d(c, f), cat)
+    out_r, vjp_r = jax.vjp(ref, cat)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(out_r), atol=1e-7)
+    d, d_ref = np.asarray(vjp(g)[0]), np.asarray(vjp_r(g)[0])
+    # the composable reference NaNs on an ALL-ZERO row (0/0 in the sqrt
+    # VJP under the max clamp); the hand-written backward returns the
+    # max-rule limit g/eps there — strictly better. Compare where the
+    # reference is finite; require finiteness everywhere from ours.
+    assert np.isfinite(d).all()
+    ok = np.isfinite(d_ref)
+    assert ok[~np.isclose(np.asarray(cat), 0).all(-1)].all()
+    scale = np.abs(d_ref[ok]).max()
+    np.testing.assert_allclose(
+        d[ok], d_ref[ok], rtol=1e-5, atol=1e-6 * scale
+    )
